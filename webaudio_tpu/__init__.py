@@ -1,0 +1,46 @@
+"""webaudio_tpu — a TPU-native batch/offline audio rendering engine.
+
+A ground-up re-design of the Web Audio API (capabilities of
+orottier/web-audio-api-rs, mounted at /root/reference) for TPU hardware:
+
+- node topologies are traced and compiled into a single XLA computation
+  (instead of a per-128-frame interpreted render thread);
+- long renders run as `lax.scan` over large blocks with functional state;
+- AudioParam automation timelines are precompiled into dense on-device
+  tensors;
+- recursive filters become truncated-IR FFT convolutions (LTI case) or
+  associative scans (time-varying case);
+- batches of independent graphs vmap/shard over device meshes.
+
+Public API mirrors the reference crate: contexts, `create_*` factories,
+`connect` / `start`, AudioParam automation methods.
+"""
+
+import jax as _jax
+
+# f64 is used for host-side time math and small per-voice scalar carries
+# (phase accumulators); audio tensors are always explicit f32.
+_jax.config.update("jax_enable_x64", True)
+
+from .constants import (  # noqa: F401,E402
+    RENDER_QUANTUM_SIZE, MAX_CHANNELS,
+    WebAudioError, NotSupportedError, IndexSizeError, InvalidStateError,
+    InvalidAccessError, RangeError,
+)
+from .buffer import AudioBuffer  # noqa: F401,E402
+from .param import AudioParam, AudioParamDescriptor, AutomationRate  # noqa: F401,E402
+from .periodic_wave import PeriodicWave  # noqa: F401,E402
+from .ops.mixing import ChannelCountMode, ChannelInterpretation  # noqa: F401,E402
+from .context.base import BaseAudioContext, AudioContextState  # noqa: F401,E402
+from .context.offline import OfflineAudioContext  # noqa: F401,E402
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy imports for heavier submodules
+    if name == "AudioContext":
+        from .context.online import AudioContext
+
+        return AudioContext
+    raise AttributeError(name)

@@ -1,0 +1,123 @@
+"""AudioBuffer: in-memory multichannel audio asset.
+
+reference: src/buffer.rs (AudioBuffer, ChannelData).  Host-side storage is a
+single contiguous numpy `(channels, length)` f32 array (the reference uses
+Arc-copy-on-write per channel; here numpy views give the same cheap clones
+and XLA owns device memory).  `as_device_array()` stages the data to the
+accelerator once and caches it, so repeated renders gather from HBM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import (
+    assert_valid_number_of_channels,
+    assert_valid_sample_rate,
+    assert_valid_channel_number,
+    IndexSizeError,
+)
+
+
+class AudioBuffer:
+    """reference: src/buffer.rs:69-363"""
+
+    def __init__(self, number_of_channels: int, length: int, sample_rate: float):
+        assert_valid_number_of_channels(number_of_channels)
+        assert_valid_sample_rate(sample_rate)
+        if length <= 0:
+            raise IndexSizeError("AudioBuffer length must be > 0")
+        self._data = np.zeros((number_of_channels, length), dtype=np.float32)
+        self._sample_rate = float(sample_rate)
+        self._device = None
+
+    # --- constructors -------------------------------------------------
+    @classmethod
+    def from_array(cls, data, sample_rate: float) -> "AudioBuffer":
+        """Build from a (channels, length) array-like (reference: buffer.rs `from`)."""
+        arr = np.asarray(data, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.ndim != 2:
+            raise IndexSizeError("expected (channels, length) data")
+        buf = cls.__new__(cls)
+        assert_valid_number_of_channels(arr.shape[0])
+        assert_valid_sample_rate(sample_rate)
+        buf._data = np.ascontiguousarray(arr)
+        buf._sample_rate = float(sample_rate)
+        buf._device = None
+        return buf
+
+    # --- spec attributes ------------------------------------------------
+    @property
+    def number_of_channels(self) -> int:
+        return self._data.shape[0]
+
+    @property
+    def length(self) -> int:
+        return self._data.shape[1]
+
+    @property
+    def sample_rate(self) -> float:
+        return self._sample_rate
+
+    @property
+    def duration(self) -> float:
+        return self.length / self._sample_rate
+
+    # --- channel access (reference: buffer.rs:148-240) -----------------
+    def get_channel_data(self, channel_number: int) -> np.ndarray:
+        assert_valid_channel_number(channel_number, self.number_of_channels)
+        self._device = None  # caller may mutate; invalidate device cache
+        return self._data[channel_number]
+
+    def copy_from_channel(self, destination: np.ndarray, channel_number: int,
+                          offset: int = 0) -> None:
+        """reference: buffer.rs:148-178"""
+        assert_valid_channel_number(channel_number, self.number_of_channels)
+        offset = min(int(offset), self.length)
+        n = min(len(destination), self.length - offset)
+        destination[:n] = self._data[channel_number, offset:offset + n]
+
+    def copy_to_channel(self, source: np.ndarray, channel_number: int,
+                        offset: int = 0) -> None:
+        """reference: buffer.rs:180-210"""
+        assert_valid_channel_number(channel_number, self.number_of_channels)
+        offset = min(int(offset), self.length)
+        n = min(len(source), self.length - offset)
+        self._data[channel_number, offset:offset + n] = source[:n]
+        self._device = None
+
+    # --- engine-side helpers --------------------------------------------
+    def to_array(self) -> np.ndarray:
+        """Return the raw (channels, length) f32 array (no copy)."""
+        return self._data
+
+    def as_device_array(self):
+        """Stage to device once; cached until the host data is mutated."""
+        if self._device is None:
+            import jax.numpy as jnp
+
+            self._device = jnp.asarray(self._data)
+        return self._device
+
+    def resample(self, sample_rate: float) -> None:
+        """In-place linear-interpolation resample (reference: buffer.rs:311-363)."""
+        assert_valid_sample_rate(sample_rate)
+        if sample_rate == self._sample_rate:
+            return
+        rate = sample_rate / self._sample_rate
+        new_len = int(round(self.length * rate))
+        # sample positions in source coordinates
+        pos = np.arange(new_len, dtype=np.float64) / rate
+        k = np.floor(pos).astype(np.int64)
+        frac = (pos - k).astype(np.float32)
+        k1 = np.minimum(k + 1, self.length - 1)
+        d = self._data
+        self._data = (d[:, k] * (1.0 - frac) + d[:, k1] * frac).astype(np.float32)
+        self._sample_rate = float(sample_rate)
+        self._device = None
+
+    def __repr__(self):
+        return (f"AudioBuffer(channels={self.number_of_channels}, "
+                f"length={self.length}, sample_rate={self._sample_rate})")

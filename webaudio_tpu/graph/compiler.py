@@ -1,0 +1,359 @@
+"""Graph tracer/compiler: node topology -> one XLA computation.
+
+This replaces the reference's per-quantum interpreted executor
+(reference: src/render/graph.rs:490-587, src/render/thread.rs:260-396) with
+trace-then-compile: the node DAG is ordered once, every node contributes a
+pure ``process`` function, and the whole topology becomes a single block
+function scanned over time with `lax.scan`:
+
+    (states, frame0) , (param slices) -> (states', frame0+B), dest block
+
+- Acyclic graphs use large blocks (DEFAULT_QUANTA_PER_BLOCK quanta) so each
+  scan step is big enough to saturate the TPU.
+- Graphs with feedback cycles render one quantum per step, matching the
+  reference's >= 1-quantum cycle latency (delay.rs:535-542).
+- AudioParam timelines arrive precompiled as dense tensors or baked scalars
+  (see webaudio_tpu/automation.py); there is no event interpreter on the
+  hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import RENDER_QUANTUM_SIZE, DEFAULT_QUANTA_PER_BLOCK
+from ..ops.mixing import (
+    ChannelCountMode, ChannelInterpretation, computed_number_of_channels,
+    sum_inputs,
+)
+from .ir import Edge, order_graph
+
+
+@dataclass
+class RenderContext:
+    """Static per-node compile info handed to `AudioNode.make_kernel`."""
+    sample_rate: float
+    block_frames: int
+    input_channel_counts: list[int]
+    output_channel_counts: list[int]
+    in_cycle: bool = False
+    total_frames: int = 0
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.sample_rate
+
+
+class BlockScope:
+    """Traced per-block values available to kernels (the analog of
+    AudioWorkletGlobalScope, reference: src/render/processor.rs:20-27)."""
+
+    __slots__ = ("frame0", "frames", "sample_rate", "dt", "_t_idx")
+
+    def __init__(self, frame0, frames: int, sample_rate: float):
+        self.frame0 = frame0                  # traced i32 scalar
+        self.frames = frames                  # static B
+        self.sample_rate = sample_rate
+        self.dt = 1.0 / sample_rate
+        self._t_idx = None
+
+    @property
+    def t_idx(self):
+        """Global sample indices of this block, (B,) int32."""
+        if self._t_idx is None:
+            self._t_idx = self.frame0 + jnp.arange(self.frames, dtype=jnp.int32)
+        return self._t_idx
+
+    def active_mask(self, start_frame: int, stop_frame: int):
+        """Sub-sample-exact scheduling mask: sample n is active iff
+        n*dt >= start_time and n*dt < stop_time, reduced host-side to
+        integer frame bounds (reference: constant_source.rs:232-249)."""
+        t = self.t_idx
+        return (t >= np.int32(min(start_frame, 2**31 - 1))) & (
+            t < np.int32(min(stop_frame, 2**31 - 1)))
+
+
+def start_frame_of(time: float, sample_rate: float) -> int:
+    """Smallest n with n/fs >= time (host-side f64, exact)."""
+    if time == float("inf"):
+        return 2**31 - 1
+    return int(math.ceil(time * sample_rate))
+
+
+def stop_frame_of(time: float, sample_rate: float) -> int:
+    """Smallest n with n/fs >= time; samples with n < result are active
+    (n*dt < stop)."""
+    if time == float("inf"):
+        return 2**31 - 1
+    return int(math.ceil(time * sample_rate))
+
+
+class Kernel:
+    """Per-node functional processor.
+
+    `process` maps (scope, state, inputs, params) -> (state', [outputs]).
+    inputs: list over input ports of (C_in, B) f32 arrays (pre-mixed fan-in).
+    params: dict name -> () or (B,) f32 (clamped, audio input summed).
+    Cycle-breaker nodes implement `process_writer` / `process_reader`
+    instead (reference's DelayWriter / DelayReader split,
+    delay.rs:376-684)."""
+
+    def init_state(self):
+        return None
+
+    def process(self, scope: BlockScope, state, inputs, params):
+        raise NotImplementedError
+
+    def process_writer(self, scope: BlockScope, state, inputs, params):
+        raise NotImplementedError
+
+    def process_reader(self, scope: BlockScope, state, params):
+        raise NotImplementedError
+
+
+@dataclass
+class CompiledGraph:
+    """A jitted render plan for one graph snapshot."""
+    block_fn: Any
+    order: list
+    kernels: dict
+    in_counts: dict
+    out_counts: dict
+    param_plan: dict          # (nid, pname) -> CompiledParam
+    block_frames: int
+    sample_rate: float
+    n_dest_channels: int
+    muted: set
+    cycle_breakers: set
+    jit_scan: Any = None
+
+
+def _propagate_channel_counts(nodes, edges):
+    """Static fixpoint of the reference's dynamic per-quantum channel
+    counting (graph.rs:524-535).  Counts only grow and are bounded by
+    MAX_CHANNELS, so iteration converges."""
+    out_counts = {nid: node.output_channel_count([1] * node.number_of_inputs)
+                  for nid, node in nodes.items()}
+    in_counts = {nid: [1] * node.number_of_inputs for nid, node in nodes.items()}
+    in_edges = {nid: [[] for _ in range(node.number_of_inputs)]
+                for nid, node in nodes.items()}
+    for e in edges:
+        if e.param is None and e.dst in in_edges and e.dst_input >= 0:
+            in_edges[e.dst][e.dst_input].append(e)
+
+    for _ in range(len(nodes) + 2):
+        changed = False
+        for nid, node in nodes.items():
+            cfg = node._channel_config
+            new_in = []
+            for i in range(node.number_of_inputs):
+                mx = 0
+                for e in in_edges[nid][i]:
+                    mx = max(mx, out_counts[e.src][e.src_output])
+                new_in.append(computed_number_of_channels(cfg.mode, cfg.count, mx))
+            new_out = node.output_channel_count(new_in)
+            if new_in != in_counts[nid] or new_out != out_counts[nid]:
+                changed = True
+                in_counts[nid] = new_in
+                out_counts[nid] = new_out
+        if not changed:
+            break
+    return in_counts, out_counts, in_edges
+
+
+def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
+                  total_frames: int, dest_id: int,
+                  start_frame: int = 0,
+                  quanta_per_block: Optional[int] = None) -> CompiledGraph:
+    """Trace a graph snapshot into a block function + scan driver."""
+    from ..nodes.delay import DelayNode  # local import to avoid cycle
+
+    node_ids = list(nodes.keys())
+    delay_ids = {nid for nid, n in nodes.items() if isinstance(n, DelayNode)}
+    ordered = order_graph(node_ids, edges, delay_ids)
+
+    qpb = quanta_per_block or DEFAULT_QUANTA_PER_BLOCK
+    if ordered.has_cycle:
+        qpb = 1  # feedback feeds back with one-quantum latency
+    total_quanta = -(-total_frames // RENDER_QUANTUM_SIZE)
+    qpb = min(qpb, total_quanta)
+    block_frames = qpb * RENDER_QUANTUM_SIZE
+
+    in_counts, out_counts, in_edges = _propagate_channel_counts(nodes, edges)
+
+    # param audio connections: (dst_nid, param_name) -> [(src, src_output)]
+    param_edges: dict = {}
+    for e in edges:
+        if e.param is not None:
+            param_edges.setdefault((e.dst, e.param), []).append((e.src, e.src_output))
+
+    # compile every param timeline over the render range
+    param_plan = {}
+    for nid, node in nodes.items():
+        for pname, p in node.params.items():
+            param_plan[(nid, pname)] = p.compile_for_render(
+                sample_rate, _pad_len(total_frames, block_frames), start_frame)
+
+    # build kernels
+    kernels = {}
+    for nid, node in nodes.items():
+        rc = RenderContext(
+            sample_rate=sample_rate,
+            block_frames=block_frames,
+            input_channel_counts=in_counts[nid],
+            output_channel_counts=out_counts[nid],
+            in_cycle=(nid in ordered.cycle_breakers),
+            total_frames=total_frames,
+        )
+        kernels[nid] = node.make_kernel(rc)
+
+    n_dest_channels = out_counts[dest_id][0] if nodes[dest_id].number_of_outputs else \
+        in_counts[dest_id][0]
+    interp_of = {nid: nodes[nid]._channel_config.interpretation for nid in nodes}
+
+    def resolve_param(nid, node, pname, xs_params, scope):
+        plan = param_plan[(nid, pname)]
+        p = node.params[pname]
+        if plan.is_constant:
+            val = jnp.float32(min(max(plan.scalar, p.min_value), p.max_value))
+        else:
+            val = xs_params[str(nid)][pname]  # (B,)
+        aedges = param_edges.get((nid, pname))
+        if aedges:
+            return None, (val, aedges, p)  # resolved later with signals
+        if not plan.is_constant:
+            val = jnp.clip(val, p.min_value, p.max_value)
+        return val, None
+
+    def block_fn(states, frame0, xs_params, signals_ext=None):
+        """One scan step: run every node in topological order."""
+        scope = BlockScope(frame0, block_frames, sample_rate)
+        signals: dict = {}
+        new_states = dict(states)
+
+        def gather_inputs(nid, node):
+            ins = []
+            for i in range(node.number_of_inputs):
+                sigs = [signals[(e.src, e.src_output)]
+                        for e in in_edges[nid][i]
+                        if (e.src, e.src_output) in signals]
+                ins.append(sum_inputs(sigs, in_counts[nid][i],
+                                      interp_of[nid], block_frames))
+            return ins
+
+        def gather_params(nid, node):
+            out = {}
+            for pname, p in node.params.items():
+                val, pending = resolve_param(nid, node, pname, xs_params, scope)
+                if pending is not None:
+                    base, aedges, pp = pending
+                    sigs = [signals[(s, o)] for (s, o) in aedges if (s, o) in signals]
+                    audio = sum_inputs(sigs, 1, ChannelInterpretation.SPEAKERS,
+                                       block_frames)[0]
+                    if not pp.automation_rate.is_a_rate:
+                        # k-rate uses the first sample of each quantum
+                        # (reference: param.rs:755-770)
+                        q = audio.reshape(-1, RENDER_QUANTUM_SIZE)[:, :1]
+                        audio = jnp.broadcast_to(
+                            q, (q.shape[0], RENDER_QUANTUM_SIZE)).reshape(-1)
+                    val = base + audio
+                    val = jnp.where(jnp.isnan(val), pp.default_value,
+                                    jnp.clip(val, pp.min_value, pp.max_value))
+                out[pname] = val
+            return out
+
+        for nid, role in ordered.order:
+            node = nodes[nid]
+            kern = kernels[nid]
+            if nid in ordered.muted:
+                for oi, c in enumerate(out_counts[nid]):
+                    signals[(nid, oi)] = jnp.zeros((c, block_frames), jnp.float32)
+                continue
+            if role == "node":
+                ins = gather_inputs(nid, node)
+                prm = gather_params(nid, node)
+                st, outs = kern.process(scope, states.get(_k(nid)), ins, prm)
+                new_states[_k(nid)] = st
+                for oi, o in enumerate(outs):
+                    signals[(nid, oi)] = o
+            elif role == "reader":
+                prm = gather_params(nid, node)
+                st, outs = kern.process_reader(scope, new_states.get(_k(nid), states.get(_k(nid))), prm)
+                new_states[_k(nid)] = st
+                for oi, o in enumerate(outs):
+                    signals[(nid, oi)] = o
+            else:  # writer
+                ins = gather_inputs(nid, node)
+                prm = gather_params(nid, node)
+                st = kern.process_writer(scope, new_states.get(_k(nid), states.get(_k(nid))), ins, prm)
+                new_states[_k(nid)] = st
+
+        dest_sig = signals.get((dest_id, 0))
+        if dest_sig is None:
+            dest_sig = jnp.zeros((n_dest_channels, block_frames), jnp.float32)
+        return new_states, dest_sig
+
+    cg = CompiledGraph(
+        block_fn=block_fn, order=ordered.order, kernels=kernels,
+        in_counts=in_counts, out_counts=out_counts, param_plan=param_plan,
+        block_frames=block_frames, sample_rate=sample_rate,
+        n_dest_channels=n_dest_channels, muted=ordered.muted,
+        cycle_breakers=ordered.cycle_breakers)
+
+    def scan_render(init_states, frame0s, xs_params):
+        def step(states, xs):
+            f0, xp = xs
+            states, out = block_fn(states, f0, xp)
+            return states, out
+
+        final_states, outs = jax.lax.scan(step, init_states, (frame0s, xs_params))
+        # (nb, C, B) -> (C, nb*B)
+        outs = jnp.transpose(outs, (1, 0, 2)).reshape(outs.shape[1], -1)
+        return final_states, outs
+
+    cg.jit_scan = jax.jit(scan_render)
+    return cg
+
+
+def _k(nid: int) -> str:
+    return f"n{nid}"
+
+
+def _pad_len(total_frames: int, block_frames: int) -> int:
+    nb = -(-total_frames // block_frames)
+    return nb * block_frames
+
+
+def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
+                    start_frame: int = 0, init_states: Optional[dict] = None):
+    """Execute a compiled graph over [start_frame, start_frame+total_frames).
+
+    Returns `(output (C, total_frames) np-convertible, final_states)`."""
+    B = cg.block_frames
+    padded = _pad_len(total_frames, B)
+    nb = padded // B
+
+    # parameter slices: dict str(nid) -> {pname: (nb, B)}
+    xs_params: dict = {}
+    for (nid, pname), plan in cg.param_plan.items():
+        if plan.is_constant:
+            continue
+        arr = plan.dense
+        if len(arr) < padded:
+            arr = np.concatenate([arr, np.full(padded - len(arr), arr[-1], np.float32)])
+        xs_params.setdefault(str(nid), {})[pname] = \
+            jnp.asarray(arr[:padded].reshape(nb, B))
+    # scan requires every leaf to have leading dim nb; ensure dict not empty
+    frame0s = jnp.asarray(start_frame + np.arange(nb, dtype=np.int32) * B)
+
+    if init_states is None:
+        init_states = {_k(nid): cg.kernels[nid].init_state() for nid in nodes}
+
+    final_states, out = cg.jit_scan(init_states, frame0s, xs_params)
+    return out[:, :total_frames], final_states

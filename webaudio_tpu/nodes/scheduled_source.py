@@ -1,0 +1,63 @@
+"""AudioScheduledSourceNode: start/stop scheduling.
+
+reference: src/node/scheduled_source.rs:6-57.  Times become host-side f64
+frame bounds at compile time (exact: `n/fs >= t  <=>  n >= ceil(t*fs)`);
+the `ended` event is computed from the schedule after rendering.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..constants import InvalidStateError, assert_valid_time_value
+from .audio_node import AudioNode
+
+
+class AudioScheduledSourceNode(AudioNode):
+    _number_of_inputs = 0
+    _number_of_outputs = 1
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._start_time = math.inf
+        self._stop_time = math.inf
+        self._start_called = False
+        self._stop_called = False
+        self._onended = None
+
+    def start(self, when: float = 0.0):
+        if self._start_called:
+            raise InvalidStateError("Cannot call `start` twice")
+        assert_valid_time_value(when)
+        self._start_called = True
+        self._start_time = float(when)
+        self.context._invalidate_graph_cache()
+
+    def start_at(self, when: float):
+        self.start(when)
+
+    def stop(self, when: float = 0.0):
+        if not self._start_called:
+            raise InvalidStateError(
+                "Cannot call `stop` without calling `start` first")
+        if self._stop_called:
+            raise InvalidStateError("Cannot call `stop` twice")
+        assert_valid_time_value(when)
+        self._stop_called = True
+        self._stop_time = float(when)
+        self.context._invalidate_graph_cache()
+
+    def stop_at(self, when: float):
+        self.stop(when)
+
+    def set_onended(self, callback):
+        self._onended = callback
+
+    def _schedule_frames(self, sample_rate: float) -> tuple[int, int]:
+        """(first active frame, first inactive frame), host-side exact."""
+        inf = 2**31 - 1
+        start = inf if math.isinf(self._start_time) else \
+            int(math.ceil(self._start_time * sample_rate))
+        stop = inf if math.isinf(self._stop_time) else \
+            int(math.ceil(self._stop_time * sample_rate))
+        return start, stop
