@@ -44,6 +44,10 @@ class RenderContext:
     output_channel_counts: list[int]
     in_cycle: bool = False
     total_frames: int = 0
+    start_frame: int = 0
+    # this node's compiled param timelines (name -> CompiledParam), so
+    # kernels can pick const-specialized strategies and read baked values
+    param_plans: dict = field(default_factory=dict)
 
     @property
     def dt(self) -> float:
@@ -210,6 +214,9 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             output_channel_counts=out_counts[nid],
             in_cycle=(nid in ordered.cycle_breakers),
             total_frames=total_frames,
+            start_frame=start_frame,
+            param_plans={pname: param_plan[(nid, pname)]
+                         for pname in node.params},
         )
         kernels[nid] = node.make_kernel(rc)
 

@@ -1,0 +1,281 @@
+"""AudioBufferSourceNode: buffer playback with resampling and looping.
+
+reference: src/node/audio_buffer_source.rs.  The reference's per-sample
+playhead state machine (audio_buffer_source.rs:625-800) becomes closed-form
+tensor math:
+
+- the compound rate `playback_rate * 2^(detune/1200)` is k-rate
+  (audio_buffer_source.rs:489-493), so buffer_time is an exclusive masked
+  cumsum of per-quantum increments (same two-level f32/f64 split as the
+  oscillator phase);
+- loop wrapping (`while bt >= loop_end: bt -= len`) is `mod` arithmetic on
+  the unwrapped playhead; the sticky `entered_loop` flag becomes a
+  closed-form per-sample predicate because the playhead is monotone between
+  re-traces;
+- sample fetch is a gather + linear interpolation, covering the reference's
+  fast track (aligned copy) and slow track (resampling) with one code path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..buffer import AudioBuffer
+from ..constants import RENDER_QUANTUM_SIZE, InvalidStateError
+from ..graph.compiler import Kernel
+from ..param import AudioParamDescriptor, AutomationRate
+from .scheduled_source import AudioScheduledSourceNode
+
+
+def _masked_cumsum_f64(values64, mask):
+    """Exclusive masked cumsum with f32 within-quantum / f64 across-quantum
+    split (see ops/oscillator.accumulate_phase)."""
+    B = values64.shape[0]
+    q = RENDER_QUANTUM_SIZE
+    nq = B // q
+    m64 = jnp.where(mask, values64, 0.0).reshape(nq, q)
+    m32 = m64.astype(jnp.float32)
+    within = (jnp.cumsum(m32, axis=1) - m32).astype(jnp.float64)
+    qsums = jnp.sum(m64, axis=1)
+    qoffs = jnp.cumsum(qsums) - qsums
+    total = qoffs[-1] + qsums[-1]
+    return (qoffs[:, None] + within).reshape(B), total
+
+
+class _BufferSourceKernel(Kernel):
+    def __init__(self, node: "AudioBufferSourceNode", rc):
+        self.sample_rate = rc.sample_rate
+        self.node = node
+        buf = node.buffer
+        self.has_buffer = buf is not None
+        if self.has_buffer:
+            self.buf_len = buf.length
+            self.buf_channels = buf.number_of_channels
+            self.buf_rate = buf.sample_rate
+            self.buf_duration = buf.length / buf.sample_rate
+            self.data = buf.as_device_array()  # (C, L) staged once to HBM
+        else:
+            self.buf_len = 1
+            self.buf_channels = 1
+            self.buf_rate = rc.sample_rate
+            self.buf_duration = 0.0
+            self.data = None
+        fs = rc.sample_rate
+        self.start_frame, self.stop_frame = node._schedule_frames(fs)
+        self.start_time = node._start_time
+        self.offset = node._offset
+        self.duration = node._duration
+        self.loop = node.loop
+        # actual loop points (reference: audio_buffer_source.rs:629-637)
+        ls, le = node.loop_start, node.loop_end
+        if ls >= 0.0 and le > 0.0 and ls < le:
+            self.loop_start, self.loop_end = ls, le
+        else:
+            self.loop_start, self.loop_end = 0.0, self.buf_duration
+
+    def init_state(self):
+        return {
+            "buffer_time": jnp.zeros((), jnp.float64),
+            "elapsed": jnp.zeros((), jnp.float64),
+        }
+
+    def process(self, scope, state, inputs, params):
+        B = scope.frames
+        if not self.has_buffer:
+            return state, [jnp.zeros((1, B), jnp.float32)]
+
+        fs = self.sample_rate
+        dt = 1.0 / fs
+        # k-rate compound rate (reference: audio_buffer_source.rs:489-493)
+        rate = params["playback_rate"].astype(jnp.float64) * \
+            jnp.exp2(params["detune"].astype(jnp.float64) / 1200.0)
+        rate = jnp.broadcast_to(rate, (B,))
+
+        sched = scope.active_mask(self.start_frame, self.stop_frame)
+
+        # All playhead math runs in *buffer sample* units so the common
+        # aligned case (rate 1, matching rates) advances by exactly 1.0 per
+        # frame — this single code path covers the reference's fast track
+        # (memcpy, audio_buffer_source.rs:554-624) bit-exactly AND its slow
+        # track (resampling) at once.
+        ratio = self.buf_rate / fs          # host f64
+        L = float(self.buf_len)
+
+        # sub-sample start: the first active sample advances the offset by
+        # delta * rate (reference: audio_buffer_source.rs:672-690)
+        if self.start_frame < 2**31 - 1:
+            delta = self.start_frame * dt - self.start_time
+        else:
+            delta = 0.0
+        at_start = scope.t_idx == self.start_frame
+        rate_n0 = jnp.sum(jnp.where(at_start, rate, 0.0))
+        in_this_block = jnp.any(at_start)
+
+        offset_eff = jnp.clip(self.offset + delta * rate_n0, 0.0, self.buf_duration)
+        if self.loop:
+            offset_eff = jnp.where(rate_n0 >= 0.0,
+                                   jnp.minimum(offset_eff, self.loop_end),
+                                   jnp.maximum(offset_eff, self.loop_start))
+        pos0_val = offset_eff * self.buf_rate  # buffer samples
+
+        # elapsed duration limit: masked |rate| cumsum (in context samples),
+        # monotone, so the mask is simply elapsed < duration*fs
+        # (reference: :652-667)
+        excl_abs, total_abs = _masked_cumsum_f64(jnp.abs(rate), sched)
+        elapsed = state["elapsed"] + excl_abs
+        dur_ok = elapsed < self.duration * fs
+        active = sched & dur_ok
+
+        incr = rate * ratio                 # buffer samples per frame
+        excl, total = _masked_cumsum_f64(incr, active)
+        pos0 = jnp.where(in_this_block, pos0_val, state["buffer_time"])
+        # when the start happens mid-block, samples before it contribute 0
+        pos = pos0 + excl
+
+        if self.loop:
+            ls = self.loop_start * self.buf_rate
+            le = self.loop_end * self.buf_rate
+            loop_len = le - ls
+            started_before = self.offset * self.buf_rate
+            entered_fwd = (started_before < le) & (pos >= ls)
+            entered_bwd = (started_before >= le) & (pos < le)
+            entered = entered_fwd | entered_bwd
+            wrapped = ls + jnp.mod(pos - ls, loop_len)
+            pos_eff = jnp.where(entered, wrapped, pos)
+        else:
+            pos_eff = pos
+
+        valid = active & (pos_eff >= 0.0) & (pos_eff < L)
+
+        playhead = pos_eff
+        floored = jnp.floor(playhead)
+        prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
+        k = (playhead - floored).astype(jnp.float32)
+        if self.loop:
+            # end-of-buffer neighbor wraps into the loop
+            # (reference: audio_buffer_source.rs:772-800)
+            start_idx = int(math.ceil(self.loop_start * self.buf_rate))
+            end_idx = int(self.loop_end * self.buf_rate)
+            next_i = jnp.where(prev_i + 1 >= self.buf_len,
+                               jnp.int32(min(start_idx, self.buf_len - 1)),
+                               prev_i + 1)
+        else:
+            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
+
+        a = self.data[:, prev_i]  # (C, B)
+        b = self.data[:, next_i]
+        out = a * (1.0 - k) + b * k
+        out = jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
+
+        new_state = {
+            "buffer_time": pos0 + total,      # in buffer samples
+            "elapsed": state["elapsed"] + total_abs,
+        }
+        return new_state, [out]
+
+
+class AudioBufferSourceNode(AudioScheduledSourceNode):
+    _number_of_inputs = 0
+    _number_of_outputs = 1
+
+    def __init__(self, context, buffer: AudioBuffer | None = None,
+                 detune: float = 0.0, loop: bool = False,
+                 loop_start: float = 0.0, loop_end: float = 0.0,
+                 playback_rate: float = 1.0):
+        super().__init__(context)
+        self._buffer = None
+        self.loop = bool(loop)
+        self._loop_start = float(loop_start)
+        self._loop_end = float(loop_end)
+        self._offset = 0.0
+        self._duration = float("inf")
+        self.playback_rate = self._register_param(
+            "playback_rate",
+            AudioParamDescriptor(
+                name="playback_rate", automation_rate=AutomationRate.K,
+                default_value=1.0, min_value=-3.4028235e38, max_value=3.4028235e38))
+        # k-rate constrained (reference: audio_buffer_source.rs:228-245)
+        self.playback_rate.set_automation_rate_constrained(True)
+        self.detune = self._register_param(
+            "detune",
+            AudioParamDescriptor(
+                name="detune", automation_rate=AutomationRate.K,
+                default_value=0.0, min_value=-3.4028235e38, max_value=3.4028235e38))
+        self.detune.set_automation_rate_constrained(True)
+        if playback_rate != 1.0:
+            self.playback_rate.set_value(playback_rate)
+        if detune != 0.0:
+            self.detune.set_value(detune)
+        if buffer is not None:
+            self.buffer = buffer
+
+    # --- buffer management (reference: audio_buffer_source.rs:300-370) ----
+    @property
+    def buffer(self) -> AudioBuffer | None:
+        return self._buffer
+
+    @buffer.setter
+    def buffer(self, buf: AudioBuffer):
+        if self._buffer is not None:
+            raise InvalidStateError("buffer has already been set")
+        self._buffer = buf
+        self.context._invalidate_graph_cache()
+
+    @property
+    def loop_start(self) -> float:
+        return self._loop_start
+
+    @loop_start.setter
+    def loop_start(self, v: float):
+        self._loop_start = self._clamp_loop_boundary(float(v))
+        self.context._invalidate_graph_cache()
+
+    @property
+    def loop_end(self) -> float:
+        return self._loop_end
+
+    @loop_end.setter
+    def loop_end(self, v: float):
+        self._loop_end = self._clamp_loop_boundary(float(v))
+        self.context._invalidate_graph_cache()
+
+    def _clamp_loop_boundary(self, v: float) -> float:
+        if self._buffer is not None:
+            return min(max(v, 0.0), self._buffer.duration)
+        return v
+
+    @property
+    def position(self) -> float:
+        """Playhead position in buffer time (reference: :306)."""
+        return getattr(self, "_last_position", 0.0)
+
+    def start(self, when: float = 0.0, offset: float | None = None,
+              duration: float | None = None):
+        if offset is not None:
+            self._offset = max(0.0, float(offset))
+        if duration is not None:
+            self._duration = float(duration)
+        super().start(when)
+
+    def start_at_with_offset(self, when, offset):
+        self.start(when, offset)
+
+    def start_at_with_offset_and_duration(self, when, offset, duration):
+        self.start(when, offset, duration)
+
+    def output_channel_count(self, input_counts):
+        c = self._buffer.number_of_channels if self._buffer is not None else 1
+        return [c]
+
+    def make_kernel(self, render_ctx):
+        # loop_end defaults to buffer duration once a buffer is present
+        if self._buffer is not None and self._loop_end == 0.0:
+            self._loop_end = self._buffer.duration
+        return _BufferSourceKernel(self, render_ctx)
+
+    def _on_render_state(self, state):
+        rate = self._buffer.sample_rate if self._buffer is not None else 1.0
+        self._last_position = float(np.asarray(state["buffer_time"])) / rate
