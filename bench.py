@@ -1,0 +1,87 @@
+"""Headline benchmark: offline-render realtime factor on real hardware.
+
+Workload = BASELINE.json config 1: AudioBufferSourceNode (sample.wav,
+decoded+resampled host-side) -> BiquadFilterNode lowpass -> destination,
+10 s @ 48 kHz stereo (the reference's benches/my_benchmark.rs buffer-src +
+biquad cases and tests/offline.rs path).
+
+Prints ONE json line: realtime factor (audio seconds rendered per wall
+second per chip), steady-state (compile excluded via warmup; the graph is
+compiled once and re-rendered, matching a serving deployment).
+vs_baseline is measured against the north-star target of 1000x realtime
+(BASELINE.json; the reference publishes no absolute numbers — see
+BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_context():
+    import webaudio_tpu as wa
+
+    fs = 48000.0
+    seconds = 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+
+    sample_path = "/root/reference/samples/sample.wav"
+    if os.path.exists(sample_path):
+        buf = ctx.decode_audio_data_sync(sample_path)
+    else:  # synthetic fallback when samples are unavailable
+        buf = wa.AudioBuffer.from_array(
+            np.sin(np.arange(2 * 48000) * 0.03, dtype=np.float32)[None]
+            .repeat(2, 0), fs)
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+
+    filt = ctx.create_biquad_filter(type="lowpass", frequency=2000.0, q=2.0)
+    src.connect(filt)
+    filt.connect(ctx.destination)
+    return ctx, seconds
+
+
+def main():
+    from webaudio_tpu.graph import compiler as C
+
+    ctx, seconds = build_context()
+
+    cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
+                         ctx.length, ctx._destination.node_id)
+
+    # warmup: stage params/buffers + compile (remote compile on tunneled
+    # backends takes tens of seconds, once)
+    out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+    out.block_until_ready()
+
+    runs = 10
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        out.block_until_ready()
+    wall = (time.perf_counter() - t0) / runs
+
+    # Optional output validation: device->host transfers on the tunneled
+    # axon backend pay a ~5-minute one-time per-shape setup, so readback is
+    # opt-in here; numerical correctness is covered by the CPU test suite
+    # (tests/, 51 oracle tests) which runs the same kernels.
+    if os.environ.get("WEBAUDIO_BENCH_VALIDATE"):
+        probe = np.asarray(out)
+        assert probe.shape[0] == 2 and np.isfinite(probe).all()
+        assert np.abs(probe).max() > 0.0, "bench graph rendered silence"
+
+    value = seconds / wall
+    print(json.dumps({
+        "metric": "offline_render_realtime_factor",
+        "value": round(value, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(value / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,8 @@ class OfflineAudioContext(BaseAudioContext):
             seg_out, states = _compiler.render_compiled(
                 cg, self._nodes, seg_len, start_frame=cursor,
                 init_states=self._merge_states(states, cg))
-            out[:, cursor:boundary] = np.asarray(seg_out)[: self._number_of_channels]
+            out[:, cursor:boundary] = \
+                np.asarray(seg_out)[: self._number_of_channels, :seg_len]
             cursor = boundary
             self._current_time = cursor / fs
             self._advance_param_state(cursor)

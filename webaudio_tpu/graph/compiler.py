@@ -58,7 +58,8 @@ class BlockScope:
     """Traced per-block values available to kernels (the analog of
     AudioWorkletGlobalScope, reference: src/render/processor.rs:20-27)."""
 
-    __slots__ = ("frame0", "frames", "sample_rate", "dt", "_t_idx")
+    __slots__ = ("frame0", "frames", "sample_rate", "dt", "_t_idx",
+                 "node_resources")
 
     def __init__(self, frame0, frames: int, sample_rate: float):
         self.frame0 = frame0                  # traced i32 scalar
@@ -66,6 +67,11 @@ class BlockScope:
         self.sample_rate = sample_rate
         self.dt = 1.0 / sample_rate
         self._t_idx = None
+        # per-node resource pytree (audio buffers, IR spectra, wavetables),
+        # threaded through jit as arguments so device arrays are never
+        # embedded as HLO constants (device->host readback is unavailable
+        # on tunneled TPU backends, and constants bloat executables)
+        self.node_resources = None
 
     @property
     def t_idx(self):
@@ -111,6 +117,11 @@ class Kernel:
     def init_state(self):
         return None
 
+    def resources(self):
+        """Static device data this kernel needs (numpy -> staged by the
+        driver); read back in `process` via `scope.node_resources`."""
+        return None
+
     def process(self, scope: BlockScope, state, inputs, params):
         raise NotImplementedError
 
@@ -136,6 +147,8 @@ class CompiledGraph:
     muted: set
     cycle_breakers: set
     jit_scan: Any = None
+    scan_render: Any = None
+    resource_cache: Any = None
 
 
 def _propagate_channel_counts(nodes, edges):
@@ -182,11 +195,25 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     delay_ids = {nid for nid, n in nodes.items() if isinstance(n, DelayNode)}
     ordered = order_graph(node_ids, edges, delay_ids)
 
-    qpb = quanta_per_block or DEFAULT_QUANTA_PER_BLOCK
-    if ordered.has_cycle:
-        qpb = 1  # feedback feeds back with one-quantum latency
     total_quanta = -(-total_frames // RENDER_QUANTUM_SIZE)
-    qpb = min(qpb, total_quanta)
+    if quanta_per_block is not None:
+        qpb = min(quanta_per_block, total_quanta)
+    elif ordered.has_cycle:
+        qpb = 1  # feedback feeds back with one-quantum latency
+    else:
+        # pick the largest divisor of the total quantum count <= the default
+        # so the scan covers exactly ceil(T/128) quanta — the same one-quantum
+        # padding semantics as the reference render loop (thread.rs:278-295);
+        # stateful probe readbacks (analyser ring, compressor reduction) then
+        # see the true final state.  Lengths with no usable divisor fall back
+        # to the default block with tail padding (documented divergence).
+        qpb = 1
+        for d in range(min(DEFAULT_QUANTA_PER_BLOCK, total_quanta), 0, -1):
+            if total_quanta % d == 0:
+                qpb = d
+                break
+        if qpb < 24 and total_quanta > DEFAULT_QUANTA_PER_BLOCK:
+            qpb = DEFAULT_QUANTA_PER_BLOCK
     block_frames = qpb * RENDER_QUANTUM_SIZE
 
     in_counts, out_counts, in_edges = _propagate_channel_counts(nodes, edges)
@@ -203,6 +230,16 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         for pname, p in node.params.items():
             param_plan[(nid, pname)] = p.compile_for_render(
                 sample_rate, _pad_len(total_frames, block_frames), start_frame)
+
+    # foreign params: a node can subscribe to another node's params (the
+    # reference's hidden listener->panner port, concrete_base.rs:511-534)
+    foreign: dict = {}
+    for nid, node in nodes.items():
+        fp = node.foreign_params()
+        if fp:
+            foreign[nid] = {alias: (src.node_id, pname)
+                            for alias, (src, pname) in fp.items()
+                            if src.node_id in nodes}
 
     # build kernels
     kernels = {}
@@ -238,9 +275,10 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             val = jnp.clip(val, p.min_value, p.max_value)
         return val, None
 
-    def block_fn(states, frame0, xs_params, signals_ext=None):
+    def block_fn(states, frame0, xs_params, resources=None):
         """One scan step: run every node in topological order."""
         scope = BlockScope(frame0, block_frames, sample_rate)
+        resources = resources or {}
         signals: dict = {}
         new_states = dict(states)
 
@@ -256,28 +294,30 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
 
         def gather_params(nid, node):
             out = {}
-            for pname, p in node.params.items():
-                val, pending = resolve_param(nid, node, pname, xs_params, scope)
+            items = [(pname, nid, node, pname) for pname in node.params]
+            for alias, (src_nid, src_pname) in foreign.get(nid, {}).items():
+                items.append((alias, src_nid, nodes[src_nid], src_pname))
+            for alias, pnid, pnode, pname in items:
+                val, pending = resolve_param(pnid, pnode, pname, xs_params, scope)
                 if pending is not None:
                     base, aedges, pp = pending
                     sigs = [signals[(s, o)] for (s, o) in aedges if (s, o) in signals]
                     audio = sum_inputs(sigs, 1, ChannelInterpretation.SPEAKERS,
                                        block_frames)[0]
                     if not pp.automation_rate.is_a_rate:
-                        # k-rate uses the first sample of each quantum
-                        # (reference: param.rs:755-770)
                         q = audio.reshape(-1, RENDER_QUANTUM_SIZE)[:, :1]
                         audio = jnp.broadcast_to(
                             q, (q.shape[0], RENDER_QUANTUM_SIZE)).reshape(-1)
                     val = base + audio
                     val = jnp.where(jnp.isnan(val), pp.default_value,
                                     jnp.clip(val, pp.min_value, pp.max_value))
-                out[pname] = val
+                out[alias] = val
             return out
 
         for nid, role in ordered.order:
             node = nodes[nid]
             kern = kernels[nid]
+            scope.node_resources = resources.get(_k(nid))
             if nid in ordered.muted:
                 for oi, c in enumerate(out_counts[nid]):
                     signals[(nid, oi)] = jnp.zeros((c, block_frames), jnp.float32)
@@ -313,10 +353,10 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         n_dest_channels=n_dest_channels, muted=ordered.muted,
         cycle_breakers=ordered.cycle_breakers)
 
-    def scan_render(init_states, frame0s, xs_params):
+    def scan_render(init_states, frame0s, xs_params, resources):
         def step(states, xs):
             f0, xp = xs
-            states, out = block_fn(states, f0, xp)
+            states, out = block_fn(states, f0, xp, resources)
             return states, out
 
         final_states, outs = jax.lax.scan(step, init_states, (frame0s, xs_params))
@@ -324,8 +364,20 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         outs = jnp.transpose(outs, (1, 0, 2)).reshape(outs.shape[1], -1)
         return final_states, outs
 
+    cg.scan_render = scan_render
     cg.jit_scan = jax.jit(scan_render)
     return cg
+
+
+def collect_resources(cg: CompiledGraph) -> dict:
+    """Gather each kernel's static device data (staged once, reused across
+    renders)."""
+    out = {}
+    for nid, kern in cg.kernels.items():
+        r = kern.resources()
+        if r is not None:
+            out[_k(nid)] = r
+    return out
 
 
 def _k(nid: int) -> str:
@@ -341,7 +393,11 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
                     start_frame: int = 0, init_states: Optional[dict] = None):
     """Execute a compiled graph over [start_frame, start_frame+total_frames).
 
-    Returns `(output (C, total_frames) np-convertible, final_states)`."""
+    Returns `(output (C, padded_frames) device array, final_states)` where
+    padded_frames rounds total_frames up to the block size — callers slice
+    host-side after transfer.  (Slicing on device would create a second XLA
+    program per length, and remote-compile latency on tunneled TPU backends
+    is tens of seconds per program.)"""
     B = cg.block_frames
     padded = _pad_len(total_frames, B)
     nb = padded // B
@@ -362,5 +418,9 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     if init_states is None:
         init_states = {_k(nid): cg.kernels[nid].init_state() for nid in nodes}
 
-    final_states, out = cg.jit_scan(init_states, frame0s, xs_params)
-    return out[:, :total_frames], final_states
+    if cg.resource_cache is None:
+        cg.resource_cache = jax.tree_util.tree_map(
+            jnp.asarray, collect_resources(cg))
+    final_states, out = cg.jit_scan(init_states, frame0s, xs_params,
+                                    cg.resource_cache)
+    return out, final_states

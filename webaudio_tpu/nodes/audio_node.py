@@ -171,6 +171,12 @@ class AudioNode:
         self._params[name] = p
         return p
 
+    def foreign_params(self) -> dict:
+        """Params of *other* nodes this node's kernel reads, as
+        alias -> (node, param_name).  The analog of the reference's hidden
+        listener->panner connection (concrete_base.rs:511-534)."""
+        return {}
+
     def output_channel_count(self, input_counts: list[int]) -> list[int]:
         """Static channel propagation: channel count of each output given the
         *computed* channel counts of this node's inputs.  Default: most

@@ -157,10 +157,13 @@ class _BiquadLTIKernel(Kernel):
     def __init__(self, coefs, channels: int, block: int):
         b0, b1, b2, a1, a2 = coefs
         h = recurrence.iir_impulse_response([b0, b1, b2], [1.0, a1, a2])
-        self.partition = min(fft_conv.DEFAULT_PARTITION, block)
-        self.h_spectra = jnp.asarray(fft_conv.partition_ir(h, self.partition))
+        self.partition = fft_conv.choose_partition(block)
+        self.h_spectra = fft_conv.partition_ir(h, self.partition)
         self.k = self.h_spectra.shape[1]
         self.channels = channels
+
+    def resources(self):
+        return {"h": self.h_spectra}
 
     def init_state(self):
         return fft_conv.PartitionedConvState.init(
@@ -168,7 +171,7 @@ class _BiquadLTIKernel(Kernel):
 
     def process(self, scope, state, inputs, params):
         state, y = fft_conv.partitioned_conv_block(
-            state, inputs[0], self.h_spectra, self.partition)
+            state, inputs[0], scope.node_resources["h"], self.partition)
         return state, [y]
 
 

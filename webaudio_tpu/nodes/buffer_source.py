@@ -56,13 +56,13 @@ class _BufferSourceKernel(Kernel):
             self.buf_channels = buf.number_of_channels
             self.buf_rate = buf.sample_rate
             self.buf_duration = buf.length / buf.sample_rate
-            self.data = buf.as_device_array()  # (C, L) staged once to HBM
+            self.data_host = buf.to_array()  # (C, L); staged via resources
         else:
             self.buf_len = 1
             self.buf_channels = 1
             self.buf_rate = rc.sample_rate
             self.buf_duration = 0.0
-            self.data = None
+            self.data_host = None
         fs = rc.sample_rate
         self.start_frame, self.stop_frame = node._schedule_frames(fs)
         self.start_time = node._start_time
@@ -75,6 +75,9 @@ class _BufferSourceKernel(Kernel):
             self.loop_start, self.loop_end = ls, le
         else:
             self.loop_start, self.loop_end = 0.0, self.buf_duration
+
+    def resources(self):
+        return None if self.data_host is None else {"data": self.data_host}
 
     def init_state(self):
         return {
@@ -165,8 +168,9 @@ class _BufferSourceKernel(Kernel):
         else:
             next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
 
-        a = self.data[:, prev_i]  # (C, B)
-        b = self.data[:, next_i]
+        data = scope.node_resources["data"]
+        a = data[:, prev_i]  # (C, B)
+        b = data[:, next_i]
         out = a * (1.0 - k) + b * k
         out = jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
 

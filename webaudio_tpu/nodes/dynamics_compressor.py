@@ -1,0 +1,162 @@
+"""DynamicsCompressorNode: spec compression curve with lookahead.
+
+reference: src/node/dynamics_compressor.rs (Giannoulis et al. design:
+gain computer in dB with soft knee, branching attack/release peak detector,
+makeup gain = (1/curve(1))^0.6, max-across-channels sidechain, fixed
+one-quantum lookahead delay).
+
+TPU mapping: everything except the level detector is elementwise tensor
+math.  The detector `y[n] = a y[n-1] + (1-a) x[n]` with `a` chosen by
+`x[n] > y[n-1]` is genuinely sequential (data-dependent coefficient), so it
+runs as a per-sample `lax.scan` carrying one scalar — the designated
+Pallas-kernel candidate for a later perf round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import RENDER_QUANTUM_SIZE, NotSupportedError
+from ..graph.compiler import Kernel
+from ..ops.mixing import ChannelCountMode
+from ..param import AudioParamDescriptor, AutomationRate
+from .audio_node import AudioNode, AudioNodeOptions, ChannelConfig
+
+
+def _db_to_lin(v):
+    return jnp.power(10.0, v / 20.0)
+
+
+def _lin_to_db(v):
+    return jnp.where(v == 0.0, -1000.0, 20.0 * jnp.log10(jnp.maximum(v, 1e-45)))
+
+
+class _CompressorKernel(Kernel):
+    def __init__(self, channels: int, sample_rate: float):
+        self.channels = channels
+        self.sample_rate = sample_rate
+
+    def init_state(self):
+        q = RENDER_QUANTUM_SIZE
+        return {
+            "detector": jnp.zeros((), jnp.float32),
+            # one-quantum lookahead delay line (reference: :452-459)
+            "delay": jnp.zeros((self.channels, q), jnp.float32),
+            "reduction": jnp.zeros((), jnp.float32),
+        }
+
+    def process(self, scope, state, inputs, params):
+        x = inputs[0]                    # (C, B)
+        B = x.shape[1]
+        fs = self.sample_rate
+        q = RENDER_QUANTUM_SIZE
+
+        # k-rate params, (B,) or scalar; formulas reference: :364-390
+        threshold = params["threshold"]
+        knee = params["knee"]
+        ratio = params["ratio"]
+        attack = params["attack"]
+        release = params["release"]
+        half_knee = knee / 2.0
+        knee_partial = (1.0 / ratio - 1.0) / (2.0 * jnp.maximum(knee, 1e-30))
+        attack_tau = jnp.exp(-1.0 / (jnp.maximum(attack, 1e-30) * fs))
+        attack_tau = jnp.where(attack == 0.0, 0.0, attack_tau)
+        release_tau = jnp.exp(-1.0 / (jnp.maximum(release, 1e-30) * fs))
+        release_tau = jnp.where(release == 0.0, 0.0, release_tau)
+        full_range_gain = threshold + (-threshold / ratio)
+        full_range_makeup = 1.0 / _db_to_lin(full_range_gain)
+        makeup_gain = 20.0 * jnp.log10(full_range_makeup ** 0.6)
+
+        # sidechain: max |x| across channels (reference: :397-407)
+        sample_db = _lin_to_db(jnp.max(jnp.abs(x), axis=0))
+
+        # gain computer with soft knee (reference: :413-425)
+        over = sample_db - threshold
+        knee_branch = sample_db + (over + half_knee) ** 2 * knee_partial
+        attenuated = jnp.where(
+            sample_db <= threshold - half_knee, sample_db,
+            jnp.where(sample_db <= threshold + half_knee,
+                      knee_branch, threshold + over / ratio))
+        attenuation = sample_db - attenuated     # xL, (B,)
+
+        # branching level detector (reference: :427-445) — sequential scan
+        at = jnp.broadcast_to(attack_tau, (B,))
+        rt = jnp.broadcast_to(release_tau, (B,))
+
+        def step(prev, inp):
+            xl, a_tau, r_tau = inp
+            tau = jnp.where(xl > prev, a_tau, r_tau)
+            y = tau * prev + (1.0 - tau) * xl
+            return y, y
+
+        detector_last, detector = jax.lax.scan(
+            step, state["detector"], (attenuation, at, rt))
+
+        reduction_db = -detector + makeup_gain
+        reduction_lin = _db_to_lin(reduction_db)
+
+        # apply to the signal delayed by one quantum (reference: :452-470)
+        ext = jnp.concatenate([state["delay"], x], axis=1)
+        delayed = ext[:, :B]
+        out = delayed * reduction_lin[None, :]
+
+        new_state = {
+            "detector": detector_last,
+            "delay": ext[:, B:],
+            "reduction": reduction_db[-1],
+        }
+        return new_state, [out.astype(jnp.float32)]
+
+
+class DynamicsCompressorNode(AudioNode):
+    _number_of_inputs = 1
+    _number_of_outputs = 1
+
+    def __init__(self, context, attack: float = 0.003, knee: float = 30.0,
+                 ratio: float = 12.0, release: float = 0.25,
+                 threshold: float = -24.0, **options):
+        cfg = ChannelConfig(count=2, mode=ChannelCountMode.CLAMPED_MAX)
+        super().__init__(context, channel_config=cfg)
+        mk = lambda name, dv, lo, hi: self._register_param(
+            name, AudioParamDescriptor(
+                name=name, automation_rate=AutomationRate.K,
+                default_value=dv, min_value=lo, max_value=hi))
+        self.attack = mk("attack", 0.003, 0.0, 1.0)
+        self.knee = mk("knee", 30.0, 0.0, 40.0)
+        self.ratio = mk("ratio", 12.0, 1.0, 20.0)
+        self.release = mk("release", 0.25, 0.0, 1.0)
+        self.threshold = mk("threshold", -24.0, -100.0, 0.0)
+        for p in self._params.values():
+            p.set_automation_rate_constrained(True)
+        for p, v in (("attack", attack), ("knee", knee), ("ratio", ratio),
+                     ("release", release), ("threshold", threshold)):
+            if getattr(self, p).default_value != v:
+                getattr(self, p).set_value(v)
+        self._reduction = 0.0
+
+    @property
+    def reduction(self) -> float:
+        """Current gain reduction in dB (reference: :450, AtomicF32)."""
+        return self._reduction
+
+    def _validate_channel_count(self, count: int):
+        if count > 2:
+            raise NotSupportedError(
+                "DynamicsCompressorNode channel count cannot be greater than 2")
+
+    def _validate_channel_count_mode(self, mode: ChannelCountMode):
+        if mode == ChannelCountMode.MAX:
+            raise NotSupportedError(
+                "DynamicsCompressorNode channel count mode cannot be 'max'")
+
+    def output_channel_count(self, input_counts):
+        return [max(1, input_counts[0])]
+
+    def make_kernel(self, render_ctx):
+        return _CompressorKernel(max(1, render_ctx.input_channel_counts[0]),
+                                 render_ctx.sample_rate)
+
+    def _on_render_state(self, state):
+        self._reduction = float(np.asarray(state["reduction"]))

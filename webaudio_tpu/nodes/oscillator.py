@@ -36,7 +36,7 @@ class _OscillatorKernel(Kernel):
     def __init__(self, type_: OscillatorType, wavetable, start_frame: int,
                  stop_frame: int, start_time: float, sample_rate: float):
         self.type_ = type_
-        self.wavetable = None if wavetable is None else jnp.asarray(wavetable)
+        self.wavetable = None if wavetable is None else np.asarray(wavetable)
         self.start_frame = start_frame
         self.stop_frame = stop_frame
         self.sample_rate = sample_rate
@@ -46,6 +46,9 @@ class _OscillatorKernel(Kernel):
             self.start_ratio = 0.0
         else:
             self.start_ratio = float(start_frame - start_time * sample_rate)
+
+    def resources(self):
+        return None if self.wavetable is None else {"table": self.wavetable}
 
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.float64)}
@@ -79,7 +82,7 @@ class _OscillatorKernel(Kernel):
         elif self.type_ == OscillatorType.TRIANGLE:
             wave = osc_ops.triangle(phase)
         else:
-            wave = osc_ops.wavetable_lookup(phase, self.wavetable)
+            wave = osc_ops.wavetable_lookup(phase, scope.node_resources["table"])
 
         out = jnp.where(mask & audible, wave, 0.0).astype(jnp.float32)
         return {"phase": carry}, [out[None, :]]

@@ -23,6 +23,14 @@ import jax.numpy as jnp
 DEFAULT_PARTITION = 1024  # reference: convolver.rs:286
 
 
+def choose_partition(block_frames: int) -> int:
+    """Largest power-of-two divisor of the block size, capped at the
+    reference's 1024 partition.  Blocks are always multiples of the render
+    quantum (128), so the result is in [128, 1024]."""
+    p = block_frames & (-block_frames)  # largest power-of-2 divisor
+    return min(p, DEFAULT_PARTITION)
+
+
 def partition_ir(ir: np.ndarray, partition: int = DEFAULT_PARTITION) -> np.ndarray:
     """IR (C_ir, L) or (L,) -> spectra (C_ir, K, P+1) complex64 (host-side)."""
     ir = np.asarray(ir, dtype=np.float32)

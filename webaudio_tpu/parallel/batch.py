@@ -1,0 +1,135 @@
+"""Batched / multi-chip graph rendering.
+
+The reference is a single-thread-per-graph engine with no parallelism
+(SURVEY.md §2.2); the TPU rebuild's scale axis is *batches of independent
+graphs*: one compiled topology, vmapped over stacked param tensors and
+states, sharded over a device mesh along the batch axis (pure data
+parallelism — graphs are independent, so no collectives are semantically
+required and ICI carries no traffic except result gathering).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph import compiler as _compiler
+
+
+class GraphBatch:
+    """Render `batch` instances of one graph topology in a single XLA
+    computation, optionally sharded over a mesh's 'graphs' axis.
+
+    Instances share the topology and any baked constants (audio buffers,
+    schedules); per-instance variation comes from `override_param` (dense
+    per-sample automation tensors differing per instance) and per-instance
+    initial states.
+    """
+
+    def __init__(self, context, batch: int, mesh: Optional[Mesh] = None):
+        self.context = context
+        self.batch = batch
+        self.mesh = mesh
+        total = context.length
+        self.total_frames = total
+        self.sample_rate = context.sample_rate
+        self.cg = _compiler.compile_graph(
+            dict(context._nodes), list(context._edges), context.sample_rate,
+            total, context._destination.node_id)
+        B = self.cg.block_frames
+        self.nb = -(-total // B)
+        padded = self.nb * B
+
+        # base param slices (shared across instances unless overridden)
+        xs: dict = {}
+        for (nid, pname), plan in self.cg.param_plan.items():
+            if plan.is_constant:
+                continue
+            arr = plan.dense
+            if len(arr) < padded:
+                arr = np.concatenate(
+                    [arr, np.full(padded - len(arr), arr[-1], np.float32)])
+            xs.setdefault(str(nid), {})[pname] = \
+                np.broadcast_to(arr[:padded].reshape(1, self.nb, B),
+                                (batch, self.nb, B))
+        self._xs = xs
+        self.frame0s = jnp.asarray(np.arange(self.nb, dtype=np.int32) * B)
+
+        states = {_compiler._k(nid): self.cg.kernels[nid].init_state()
+                  for nid in context._nodes}
+        self._states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), states)
+
+        # static kernel data (audio buffers, IR spectra): shared across
+        # instances, replicated on every device
+        self._resources = _compiler.collect_resources(self.cg)
+
+        def render_one(init_states, xs_params, resources):
+            def step(st, xs_in):
+                f0, xp = xs_in
+                st, out = self.cg.block_fn(st, f0, xp, resources)
+                return st, out
+
+            final, outs = jax.lax.scan(step, init_states,
+                                       (self.frame0s, xs_params))
+            return jnp.transpose(outs, (1, 0, 2)).reshape(outs.shape[1], -1)
+
+        batched = jax.vmap(render_one, in_axes=(0, 0, None))
+        if mesh is not None:
+            sh = NamedSharding(mesh, P("graphs"))
+            repl = NamedSharding(mesh, P())
+            spec_states = jax.tree_util.tree_map(lambda _: sh, self._states)
+            spec_xs = jax.tree_util.tree_map(lambda _: sh, self._xs)
+            spec_res = jax.tree_util.tree_map(lambda _: repl, self._resources)
+            self._fn = jax.jit(
+                batched,
+                in_shardings=(spec_states, spec_xs, spec_res),
+                out_shardings=sh)
+        else:
+            self._fn = jax.jit(batched)
+
+    def override_param(self, node, param_name: str, dense: np.ndarray):
+        """Give each instance its own automation tensor.
+
+        dense: (batch, total_frames) f32 — per-instance per-sample values.
+        """
+        B = self.cg.block_frames
+        padded = self.nb * B
+        arr = np.asarray(dense, np.float32)
+        if arr.shape != (self.batch, self.total_frames):
+            raise ValueError(
+                f"expected ({self.batch}, {self.total_frames}), got {arr.shape}")
+        if arr.shape[1] < padded:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[:, -1:], padded - arr.shape[1], 1)], axis=1)
+        self._xs.setdefault(str(node.node_id), {})[param_name] = \
+            arr.reshape(self.batch, self.nb, B)
+        # param must not be baked as constant in the compiled fn
+        plan = self.cg.param_plan.get((node.node_id, param_name))
+        if plan is not None and plan.is_constant:
+            raise ValueError(
+                "param was compiled as a constant; schedule at least one "
+                "automation event before batching to make it dense")
+
+    def render(self):
+        """-> (batch, channels, total_frames) on device (sharded if mesh)."""
+        xs = jax.tree_util.tree_map(jnp.asarray, self._xs)
+        res = jax.tree_util.tree_map(jnp.asarray, self._resources)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("graphs"))
+            xs = jax.device_put(xs, sh)
+            states = jax.device_put(self._states, sh)
+            res = jax.device_put(res, NamedSharding(self.mesh, P()))
+        else:
+            states = self._states
+        out = self._fn(states, xs, res)
+        return out[:, :, : self.total_frames]
+
+
+def default_mesh(axis: str = "graphs") -> Mesh:
+    devs = np.array(jax.devices())
+    return Mesh(devs, (axis,))
