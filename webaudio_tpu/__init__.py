@@ -36,11 +36,31 @@ from .context.offline import OfflineAudioContext  # noqa: F401,E402
 
 __version__ = "0.1.0"
 
+_LAZY = {
+    "AudioContext": ("webaudio_tpu.context.online", "AudioContext"),
+    "AudioContextOptions": ("webaudio_tpu.context.online", "AudioContextOptions"),
+    "AudioWorkletNode": ("webaudio_tpu.worklet", "AudioWorkletNode"),
+    "AudioWorkletProcessor": ("webaudio_tpu.worklet", "AudioWorkletProcessor"),
+    "MessagePort": ("webaudio_tpu.worklet", "MessagePort"),
+    "MediaStream": ("webaudio_tpu.media.streams", "MediaStream"),
+    "MediaStreamTrack": ("webaudio_tpu.media.streams", "MediaStreamTrack"),
+    "MediaRecorder": ("webaudio_tpu.media.recorder", "MediaRecorder"),
+    "MediaElement": ("webaudio_tpu.media.element", "MediaElement"),
+    "enumerate_devices_sync": ("webaudio_tpu.media.devices", "enumerate_devices_sync"),
+    "get_user_media_sync": ("webaudio_tpu.media.devices", "get_user_media_sync"),
+    "MediaTrackConstraints": ("webaudio_tpu.media.devices", "MediaTrackConstraints"),
+    "MediaDeviceInfo": ("webaudio_tpu.media.devices", "MediaDeviceInfo"),
+    "EventType": ("webaudio_tpu.events", "EventType"),
+    "AudioRenderCapacityEvent": ("webaudio_tpu.stats", "AudioRenderCapacityEvent"),
+    "GraphBatch": ("webaudio_tpu.parallel.batch", "GraphBatch"),
+}
+
 
 def __getattr__(name):
     # lazy imports for heavier submodules
-    if name == "AudioContext":
-        from .context.online import AudioContext
+    if name in _LAZY:
+        import importlib
 
-        return AudioContext
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

@@ -245,6 +245,7 @@ def compile_timeline(
     length: int,
     is_a_rate: bool,
     start_frame: int = 0,
+    force_dense: bool = False,
 ) -> CompiledParam:
     """Compile ``timeline`` into a scalar or dense array for samples
     ``[start_frame, start_frame + length)``.
@@ -256,6 +257,10 @@ def compile_timeline(
     dt = 1.0 / fs
 
     if timeline.is_trivially_constant():
+        if force_dense:
+            dense = np.full(length, np.float32(timeline.intrinsic_value))
+            return CompiledParam(None, dense, timeline.intrinsic_value,
+                                 timeline.last_event)
         return CompiledParam(timeline.intrinsic_value, None,
                              timeline.intrinsic_value, timeline.last_event)
 
@@ -442,14 +447,14 @@ def compile_timeline(
     timeline.last_event = last_event
 
     # single constant segment -> scalar
-    if len(segments) == 1 and segments[0].kind == "const":
+    if len(segments) == 1 and segments[0].kind == "const" and not force_dense:
         v = segments[0].v0
         return CompiledParam(v, None, intrinsic, last_event)
 
     dense = _evaluate_segments(segments, start_frame, length, dt)
     if not is_a_rate:
         dense = _k_rate_quantize(segments, dense, start_frame, length, dt)
-        if np.all(dense == dense[0]):
+        if not force_dense and np.all(dense == dense[0]):
             return CompiledParam(float(dense[0]), None, intrinsic, last_event)
     return CompiledParam(None, dense, intrinsic, last_event)
 

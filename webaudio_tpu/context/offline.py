@@ -127,6 +127,18 @@ class OfflineAudioContext(BaseAudioContext):
             "audio_seconds": total / fs,
         }
 
+        # `ended` events, computed from schedules (reference fires them from
+        # the render thread when stop time is crossed)
+        end_time = total / fs
+        for node in self._nodes.values():
+            cb = getattr(node, "_onended", None)
+            if cb is None:
+                continue
+            stop = getattr(node, "_stop_time", math.inf)
+            start = getattr(node, "_start_time", math.inf)
+            if min(stop, end_time) <= end_time and start < math.inf:
+                cb()
+
         self._set_state(AudioContextState.CLOSED)
         buffer = AudioBuffer.from_array(out, fs)
         self._dispatch_event("complete", buffer)

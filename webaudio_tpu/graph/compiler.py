@@ -187,7 +187,8 @@ def _propagate_channel_counts(nodes, edges):
 def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
                   total_frames: int, dest_id: int,
                   start_frame: int = 0,
-                  quanta_per_block: Optional[int] = None) -> CompiledGraph:
+                  quanta_per_block: Optional[int] = None,
+                  force_dense_params: bool = False) -> CompiledGraph:
     """Trace a graph snapshot into a block function + scan driver."""
     from ..nodes.delay import DelayNode  # local import to avoid cycle
 
@@ -208,8 +209,10 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         # see the true final state.  Lengths with no usable divisor fall back
         # to the default block with tail padding (documented divergence).
         qpb = 1
+        pow2_only = any(getattr(n, "block_constraint", lambda: None)() == "pow2"
+                        for n in nodes.values())
         for d in range(min(DEFAULT_QUANTA_PER_BLOCK, total_quanta), 0, -1):
-            if total_quanta % d == 0:
+            if total_quanta % d == 0 and (not pow2_only or (d & (d - 1)) == 0):
                 qpb = d
                 break
         if qpb < 24 and total_quanta > DEFAULT_QUANTA_PER_BLOCK:
@@ -229,7 +232,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     for nid, node in nodes.items():
         for pname, p in node.params.items():
             param_plan[(nid, pname)] = p.compile_for_render(
-                sample_rate, _pad_len(total_frames, block_frames), start_frame)
+                sample_rate, _pad_len(total_frames, block_frames), start_frame,
+                force_dense=force_dense_params)
 
     # foreign params: a node can subscribe to another node's params (the
     # reference's hidden listener->panner port, concrete_base.rs:511-534)

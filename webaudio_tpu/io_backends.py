@@ -1,0 +1,98 @@
+"""Output sinks: where online-rendered audio goes.
+
+reference: src/io/ (cpal/cubeb OS backends + the `none` virtual backend,
+io/none.rs:38-74).  TPU deployments have no sound card; the equivalents are
+a deadline-paced null sink, a user-callback sink (the programmatic
+consumer), and a WAV file sink.  All implement the AudioBackend protocol
+(the analog of AudioBackendManager, io/mod.rs:207-257).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+# latency category -> callback buffer size in frames
+# (reference: io/mod.rs:260-286)
+LATENCY_BUFFER_SIZES = {
+    "interactive": 128,
+    "balanced": 512,
+    "playback": 1024,
+}
+
+
+class AudioBackend:
+    """Sink protocol (reference: io/mod.rs:207-257)."""
+
+    sink_id = "none"
+
+    def write(self, chunk: np.ndarray, timestamp: float) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    @property
+    def output_latency(self) -> float:
+        return 0.0
+
+
+class NoneBackend(AudioBackend):
+    """Discards audio; the render loop's deadline timer provides pacing
+    (reference: io/none.rs:45-74)."""
+
+    sink_id = "none"
+
+    def write(self, chunk, timestamp):
+        pass
+
+
+class CallbackBackend(AudioBackend):
+    """Delivers rendered chunks to a user callback — the programmatic
+    equivalent of an OS audio callback."""
+
+    sink_id = "callback"
+
+    def __init__(self, callback: Callable[[np.ndarray, float], None]):
+        self._cb = callback
+
+    def write(self, chunk, timestamp):
+        self._cb(chunk, timestamp)
+
+
+class WavFileBackend(AudioBackend):
+    """Streams rendered audio into a WAV file."""
+
+    def __init__(self, path: str, channels: int, sample_rate: float):
+        self.sink_id = f"file:{path}"
+        self._path = path
+        self._channels = channels
+        self._sample_rate = sample_rate
+        self._chunks: list[np.ndarray] = []
+
+    def write(self, chunk, timestamp):
+        self._chunks.append(np.asarray(chunk, np.float32))
+
+    def close(self):
+        from .media.wav import write_wav
+
+        if self._chunks:
+            data = np.concatenate(self._chunks, axis=1)
+        else:
+            data = np.zeros((self._channels, 0), np.float32)
+        write_wav(self._path, data, self._sample_rate)
+
+
+def build_backend(sink_id, channels: int, sample_rate: float) -> AudioBackend:
+    """reference: io/mod.rs:151-204 (build_output)."""
+    if sink_id is None or sink_id in ("", "none"):
+        return NoneBackend()
+    if callable(sink_id):
+        return CallbackBackend(sink_id)
+    if isinstance(sink_id, AudioBackend):
+        return sink_id
+    if isinstance(sink_id, str) and sink_id.startswith("file:"):
+        return WavFileBackend(sink_id[5:], channels, sample_rate)
+    raise ValueError(f"unknown sink id {sink_id!r} (NotFoundError)")

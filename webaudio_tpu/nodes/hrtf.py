@@ -1,0 +1,249 @@
+"""HRTF panning model: HRIR-sphere binaural rendering.
+
+reference: src/node/panner.rs:39-69 + the `hrtf` crate (mrDIMAS/hrtf) with
+the IRCAM LISTEN IRC_1003_C sphere (resources/IRC_1003_C.bin: magic 'HRIR',
+u32 sample rate, u32 ir length, u32 vertex count, u32 index count, faces,
+then per vertex [xyz f32, left ir, right ir]).
+
+TPU design: vertex HRIRs are resampled to the context rate host-side (the
+reference resamples on load too), partitioned, and staged as spectra
+(V, 2, K, P+1).  Per render quantum the kernel computes the source
+direction, finds the sphere triangle hit by the ray (vectorized
+ray-triangle test over all faces), barycentrically interpolates the three
+vertex *spectra* (exact: the FFT is linear), and runs a per-quantum
+frequency-domain delay line.  Directions therefore update at k-rate
+(quantum granularity) like the reference (panner.rs:781-829).
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import RENDER_QUANTUM_SIZE
+from ..graph.compiler import Kernel
+from ..ops.mixing import ChannelInterpretation, mix
+
+import os as _os
+
+HRIR_PATH = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), "resources", "IRC_1003_C.bin")
+PARTITION = RENDER_QUANTUM_SIZE  # per-quantum convolution chunks
+
+
+@functools.lru_cache(maxsize=None)
+def load_hrir_sphere(sample_rate: float, path: str = HRIR_PATH):
+    """Parse + resample the HRIR sphere (host-side, cached per rate —
+    the analog of load_hrtf_processor's OnceLock cache, panner.rs:39-69)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"HRIR", "bad HRIR sphere file"
+    src_rate, ir_len, n_vert, n_idx = struct.unpack_from("<IIII", data, 4)
+    off = 20
+    faces = np.frombuffer(data, dtype="<u4", count=n_idx, offset=off)
+    faces = faces.reshape(-1, 3).astype(np.int32)
+    off += 4 * n_idx
+    stride = 3 + 2 * ir_len
+    verts = np.frombuffer(data, dtype="<f4", count=n_vert * stride, offset=off)
+    verts = verts.reshape(n_vert, stride)
+    positions = verts[:, :3].copy()
+    left = verts[:, 3:3 + ir_len].copy()
+    right = verts[:, 3 + ir_len:].copy()
+
+    # resample IRs to the context rate (linear interp, like buffer.resample)
+    if sample_rate != src_rate:
+        ratio = sample_rate / src_rate
+        new_len = int(np.ceil(ir_len * ratio))
+        pos = np.arange(new_len, dtype=np.float64) / ratio
+        k = np.minimum(np.floor(pos).astype(np.int64), ir_len - 1)
+        k1 = np.minimum(k + 1, ir_len - 1)
+        frac = (pos - k).astype(np.float32)
+        left = (left[:, k] * (1 - frac) + left[:, k1] * frac).astype(np.float32)
+        right = (right[:, k] * (1 - frac) + right[:, k1] * frac).astype(np.float32)
+
+    # partition into per-quantum chunks and precompute spectra
+    P = PARTITION
+    L = left.shape[1]
+    K = -(-L // P)
+    padded = np.zeros((n_vert, 2, K * P), np.float32)
+    padded[:, 0, :L] = left
+    padded[:, 1, :L] = right
+    chunks = padded.reshape(n_vert, 2, K, P)
+    z = np.zeros((n_vert, 2, K, 2 * P), np.float32)
+    z[..., :P] = chunks
+    spectra = np.fft.rfft(z, axis=-1).astype(np.complex64)  # (V, 2, K, P+1)
+    return positions, faces, spectra, K
+
+
+def ray_triangle_weights(direction, positions, faces):
+    """Vectorized ray-face intersection from the origin through `direction`
+    (unit-ish), returning barycentric vertex weights (V,) summing to 1.
+
+    direction: (nq, 3); positions: (V, 3); faces: (F, 3).
+    Returns (nq, 3) face vertex ids and (nq, 3) weights."""
+    a = positions[faces[:, 0]]  # (F, 3)
+    b = positions[faces[:, 1]]
+    c = positions[faces[:, 2]]
+    # Möller–Trumbore with ray origin 0: solve t*d = a + u(b-a) + v(c-a)
+    e1 = b - a
+    e2 = c - a
+    d = direction[:, None, :]                       # (nq, 1, 3)
+    pvec = jnp.cross(d, e2[None, :, :])             # (nq, F, 3)
+    det = jnp.sum(pvec * e1[None, :, :], axis=-1)   # (nq, F)
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvec = -a[None, :, :]                           # origin - a
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(qvec * d, axis=-1) * inv_det
+    t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
+    eps = 1e-5
+    hit = (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps) & (t > 0.0)
+    # pick the first hit face per quantum (there is exactly one for a
+    # closed sphere; fall back to face 0 weights if none)
+    score = jnp.where(hit, t, jnp.inf)
+    fidx = jnp.argmin(score, axis=-1)               # (nq,)
+    any_hit = jnp.isfinite(jnp.min(score, axis=-1))
+    uu = jnp.take_along_axis(u, fidx[:, None], axis=1)[:, 0]
+    vv = jnp.take_along_axis(v, fidx[:, None], axis=1)[:, 0]
+    uu = jnp.where(any_hit, uu, 0.0)
+    vv = jnp.where(any_hit, vv, 0.0)
+    w = jnp.stack([1.0 - uu - vv, uu, vv], axis=1)  # (nq, 3)
+    vids = faces[fidx]                              # (nq, 3)
+    return vids, w.astype(jnp.float32)
+
+
+class HrtfPannerKernel(Kernel):
+    def __init__(self, node, rc):
+        self.n = node
+        self.in_channels = max(1, rc.input_channel_counts[0])
+        self.block = rc.block_frames
+        positions, faces, spectra, K = load_hrir_sphere(rc.sample_rate)
+        self.positions = positions
+        self.faces = faces
+        self.spectra_host = spectra
+        self.K = K
+
+    def resources(self):
+        return {"spectra": self.spectra_host,
+                "positions": self.positions.astype(np.float32),
+                "faces": self.faces}
+
+    def init_state(self):
+        P = PARTITION
+        return {
+            "xspec": jnp.zeros((self.K - 1, P + 1), jnp.complex64),
+            "tail": jnp.zeros((P,), jnp.float32),
+        }
+
+    def process(self, scope, state, inputs, params):
+        from .panner import azimuth_elevation, _EqualPowerPannerKernel
+
+        x = inputs[0]
+        B = x.shape[1]
+        P = PARTITION
+        nq = B // P
+        n = self.n
+
+        # per-quantum spatial params (k-rate HRTF, panner.rs:781-797)
+        def per_quantum(p):
+            if p.ndim == 0:
+                return jnp.broadcast_to(p, (nq,))
+            return p.reshape(nq, P)[:, 0]
+
+        sp = [per_quantum(params[k]) for k in ("position_x", "position_y",
+                                               "position_z")]
+        so = [per_quantum(params[k]) for k in ("orientation_x", "orientation_y",
+                                               "orientation_z")]
+        lp = [per_quantum(params[k]) for k in ("l_position_x", "l_position_y",
+                                               "l_position_z")]
+        lf = [per_quantum(params[k]) for k in ("l_forward_x", "l_forward_y",
+                                               "l_forward_z")]
+        lu = [per_quantum(params[k]) for k in ("l_up_x", "l_up_y", "l_up_z")]
+
+        azimuth, elevation = azimuth_elevation(sp, lp, lf, lu)
+        # distance & cone gains: reuse the equal-power kernel's math by
+        # computing them inline (panner.rs:808-812)
+        helper = _EqualPowerPannerKernel(n, mono_input=True)
+        dist = jnp.sqrt((sp[0] - lp[0]) ** 2 + (sp[1] - lp[1]) ** 2
+                        + (sp[2] - lp[2]) ** 2)
+        ref_d = n.ref_distance
+        from .panner import DistanceModelType, source_listener_angle
+
+        if n.distance_model == DistanceModelType.LINEAR:
+            rolloff = min(max(n.rolloff_factor, 0.0), 1.0)
+            d2ref = min(ref_d, n.max_distance)
+            d2max = max(ref_d, n.max_distance)
+            dcl = jnp.clip(dist, d2ref, d2max)
+            dist_gain = 1.0 - rolloff * (dcl - d2ref) / (d2max - d2ref)
+        elif n.distance_model == DistanceModelType.INVERSE:
+            rolloff = max(n.rolloff_factor, 0.0)
+            dist_gain = jnp.where(
+                dist > 0.0,
+                ref_d / (ref_d + rolloff * (jnp.maximum(dist, ref_d) - ref_d)),
+                1.0)
+        else:
+            rolloff = max(n.rolloff_factor, 0.0)
+            dist_gain = (jnp.maximum(dist, ref_d) / ref_d) ** (-rolloff)
+        abs_inner = abs(n.cone_inner_angle) / 2.0
+        abs_outer = abs(n.cone_outer_angle) / 2.0
+        if abs_inner >= 180.0 and abs_outer >= 180.0:
+            cone_gain = jnp.ones_like(dist_gain)
+        else:
+            ang = source_listener_angle(sp, so, lp)
+            span = max(abs_outer - abs_inner, 1e-20)
+            t = (ang - abs_inner) / span
+            mid = (1.0 - t) + n.cone_outer_gain * t
+            cone_gain = jnp.where(ang < abs_inner, 1.0,
+                                  jnp.where(ang >= abs_outer,
+                                            n.cone_outer_gain, mid))
+        gain = (dist_gain * cone_gain).astype(jnp.float32)  # (nq,)
+
+        # direction vector from azimuth/elevation (panner.rs:790-800)
+        az = azimuth * (np.pi / 180.0)
+        el = elevation * (np.pi / 180.0)
+        dx = jnp.sin(az) * jnp.cos(el)
+        dz = jnp.cos(az) * jnp.cos(el)
+        dy = jnp.sin(el)
+        direction = jnp.stack([dx, dy, dz], axis=1)
+        degenerate = jnp.sum(jnp.abs(direction), axis=1) < 1e-6
+        direction = jnp.where(degenerate[:, None],
+                              jnp.array([0.0, 0.0, 1.0]), direction)
+
+        positions = scope.node_resources["positions"]
+        faces = scope.node_resources["faces"]
+        spectra = scope.node_resources["spectra"]   # (V, 2, K, P+1)
+        vids, w = ray_triangle_weights(direction, positions, faces)
+
+        # interpolate spectra: (nq, 2, K, P+1)
+        vspec = spectra[vids]                        # (nq, 3, 2, K, P+1)
+        h = jnp.einsum("qv,qvekf->qekf", w.astype(jnp.complex64), vspec)
+
+        # mono downmix (x2 gain correction for stereo, panner.rs:835-845)
+        if self.in_channels >= 2:
+            mono = (x[0] + x[1])  # 0.5 downmix * 2.0 correction
+        else:
+            mono = x[0]
+        mono = mono * jnp.repeat(gain, P)
+
+        # per-quantum frequency-domain delay line (overlap-save)
+        ext = jnp.concatenate([state["tail"], mono])
+        idx = jnp.arange(nq)[:, None] * P + jnp.arange(2 * P)[None, :]
+        X = jnp.fft.rfft(ext[idx], axis=-1).astype(jnp.complex64)  # (nq, P+1)
+        Xfull = jnp.concatenate([state["xspec"], X], axis=0)
+        jj = jnp.arange(nq)[:, None]
+        kk = jnp.arange(self.K)[None, :]
+        win = Xfull[jj + (self.K - 1) - kk]          # (nq, K, P+1)
+        Y = jnp.einsum("qkf,qekf->qef", win, h)      # (nq, 2, P+1)
+        y = jnp.fft.irfft(Y, n=2 * P, axis=-1)[..., P:]  # (nq, 2, P)
+        out = jnp.transpose(y, (1, 0, 2)).reshape(2, B)
+
+        new_state = {
+            "xspec": Xfull[Xfull.shape[0] - (self.K - 1):]
+            if self.K > 1 else state["xspec"],
+            "tail": ext[B:],
+        }
+        return new_state, [out.astype(jnp.float32)]

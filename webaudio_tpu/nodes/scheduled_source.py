@@ -30,7 +30,9 @@ class AudioScheduledSourceNode(AudioNode):
             raise InvalidStateError("Cannot call `start` twice")
         assert_valid_time_value(when)
         self._start_called = True
-        self._start_time = float(when)
+        # [spec] values below currentTime start immediately
+        # (reference: oscillator.rs:419-424 "prevent scheduling in the past")
+        self._start_time = max(float(when), self.context.current_time)
         self.context._invalidate_graph_cache()
 
     def start_at(self, when: float):

@@ -190,7 +190,8 @@ class AudioParam:
 
     # --- engine hooks ----------------------------------------------------
     def compile_for_render(self, sample_rate: float, length: int,
-                           start_frame: int = 0) -> automation.CompiledParam:
+                           start_frame: int = 0,
+                           force_dense: bool = False) -> automation.CompiledParam:
         """Compile the timeline over ``[start_frame, start_frame+length)``.
 
         Operates on a snapshot so repeated compiles from frame 0 are
@@ -198,8 +199,20 @@ class AudioParam:
         tl = self._timeline.snapshot()
         compiled = automation.compile_timeline(
             tl, sample_rate, length, self._automation_rate.is_a_rate,
-            start_frame=start_frame)
+            start_frame=start_frame, force_dense=force_dense)
         return compiled
+
+    def advance_dense(self, sample_rate: float, length: int,
+                      start_frame: int = 0) -> "np.ndarray":
+        """Consume the live timeline over the range, returning dense values
+        (the online render loop's per-chunk path — mirrors the reference's
+        per-quantum compute_buffer on the render thread)."""
+        compiled = automation.compile_timeline(
+            self._timeline, sample_rate, length,
+            self._automation_rate.is_a_rate,
+            start_frame=start_frame, force_dense=True)
+        self._current_value = self._timeline.intrinsic_value
+        return compiled.dense
 
     def clamp(self, x):
         """Clamp per spec; NaN maps to default (reference: param.rs:755-796)."""

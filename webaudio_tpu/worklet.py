@@ -1,0 +1,145 @@
+"""AudioWorklet: user-defined audio processors.
+
+reference: src/worklet.rs.  The reference's `AudioWorkletProcessor` trait
+(constructor options, `parameter_descriptors()`, `process(inputs, outputs,
+params, scope) -> bool`, worklet.rs:50-114) maps directly onto the engine's
+functional kernel protocol: a processor declares params and implements
+
+    init_state(render_ctx) -> pytree
+    process(scope, state, inputs, params) -> (state', outputs)
+
+with `inputs` a list of (channels, block) arrays and params dense tensors —
+i.e. user processors are written in JAX and get compiled into the same XLA
+computation as built-in nodes (instead of being interpreted per quantum on
+an audio thread).  MessagePort messaging is control-side and takes effect
+at trace boundaries (construction / suspend re-traces), mirroring how the
+reference delivers messages between render quanta (worklet.rs:301-321).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from .constants import IndexSizeError, NotSupportedError
+from .graph.compiler import Kernel
+from .nodes.audio_node import AudioNode, AudioNodeOptions
+from .param import AudioParamDescriptor, AutomationRate
+
+
+class MessagePort:
+    """Bidirectional control<->processor channel
+    (reference: src/message_port.rs:1-54)."""
+
+    def __init__(self):
+        self._onmessage: Optional[Callable] = None
+        self._peer: Optional["MessagePort"] = None
+
+    @staticmethod
+    def pair() -> tuple["MessagePort", "MessagePort"]:
+        a, b = MessagePort(), MessagePort()
+        a._peer, b._peer = b, a
+        return a, b
+
+    def set_onmessage(self, cb: Callable):
+        self._onmessage = cb
+
+    def post_message(self, msg: Any):
+        if self._peer is not None and self._peer._onmessage is not None:
+            self._peer._onmessage(msg)
+
+
+class AudioWorkletProcessor:
+    """Base class for user processors (reference: worklet.rs:50-114)."""
+
+    def __init__(self, options: Optional[dict] = None, port: Optional[MessagePort] = None):
+        self.options = options or {}
+        self.port = port
+
+    @classmethod
+    def parameter_descriptors(cls) -> list[AudioParamDescriptor]:
+        return []
+
+    def init_state(self, render_ctx):
+        return None
+
+    def process(self, scope, state, inputs, params):
+        """Return (state', [outputs]) — pure JAX code, traced once."""
+        raise NotImplementedError
+
+
+class _WorkletKernel(Kernel):
+    def __init__(self, processor: AudioWorkletProcessor, rc, n_outputs: int,
+                 output_channel_count):
+        self.processor = processor
+        self.rc = rc
+        self.n_outputs = n_outputs
+        self.output_channel_count = output_channel_count
+
+    def init_state(self):
+        return self.processor.init_state(self.rc)
+
+    def process(self, scope, state, inputs, params):
+        state, outputs = self.processor.process(scope, state, inputs, params)
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        return state, list(outputs)
+
+
+class AudioWorkletNode(AudioNode):
+    """reference: worklet.rs:125-289."""
+
+    def __init__(self, context, processor_cls, number_of_inputs: int = 1,
+                 number_of_outputs: int = 1,
+                 output_channel_count: Optional[list[int]] = None,
+                 parameter_data: Optional[dict] = None,
+                 processor_options: Optional[dict] = None,
+                 **options):
+        if number_of_inputs == 0 and number_of_outputs == 0:
+            raise NotSupportedError(
+                "number_of_inputs and number_of_outputs cannot both be zero")
+        self._number_of_inputs = int(number_of_inputs)
+        self._number_of_outputs = int(number_of_outputs)
+        if output_channel_count is not None:
+            if len(output_channel_count) != number_of_outputs:
+                raise IndexSizeError(
+                    "output_channel_count length must equal number_of_outputs")
+            for c in output_channel_count:
+                if not (1 <= c <= 32):
+                    raise NotSupportedError("invalid output channel count")
+        self._output_channel_count = output_channel_count
+        super().__init__(context,
+                         options=AudioNodeOptions(**options) if options else None)
+
+        node_port, proc_port = MessagePort.pair()
+        self.port = node_port
+        # processor constructed eagerly (the reference defers to the render
+        # thread, worklet.rs:301-321; here construction is control-side but
+        # processing is still compiled)
+        self._processor = processor_cls(options=processor_options,
+                                        port=proc_port)
+        self._parameters: dict[str, Any] = {}
+        for desc in processor_cls.parameter_descriptors():
+            p = self._register_param(desc.name, desc)
+            self._parameters[desc.name] = p
+            if parameter_data and desc.name in parameter_data:
+                p.set_value(parameter_data[desc.name])
+
+    @property
+    def parameters(self) -> dict:
+        """Named AudioParam map (reference: worklet.rs:245-257)."""
+        return dict(self._parameters)
+
+    def output_channel_count(self, input_counts):
+        if self._output_channel_count is not None:
+            return list(self._output_channel_count)
+        # [spec] defaults: 1 in 1 out -> follow input; else mono outputs
+        if self._number_of_inputs == 1 and self._number_of_outputs == 1:
+            return [max(1, input_counts[0] if input_counts else 1)]
+        return [1] * self._number_of_outputs
+
+    def make_kernel(self, render_ctx):
+        return _WorkletKernel(self._processor, render_ctx,
+                              self._number_of_outputs,
+                              self._output_channel_count)
