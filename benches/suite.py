@@ -1,0 +1,216 @@
+"""Benchmark suite: the five BASELINE.json configs + padenot-style workloads.
+
+reference: benches/my_benchmark.rs (offline render benches) and
+examples/benchmarks.rs (speedup-vs-realtime harness).  Each case builds a
+graph through the public API, compiles once, and measures steady-state
+realtime factor (audio seconds per wall second per chip).  Run on the TPU:
+
+    python benches/suite.py [case ...]
+
+Prints one JSON line per case.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLES = "/root/reference/samples"
+
+
+def _measure(ctx, seconds, runs=5):
+    from webaudio_tpu.graph import compiler as C
+
+    cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
+                         ctx.length, ctx._destination.node_id)
+    t0 = time.perf_counter()
+    out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        out.block_until_ready()
+    wall = (time.perf_counter() - t0) / runs
+    return seconds / wall, compile_s
+
+
+def case_buffer_biquad():
+    """Config 1: sample.wav -> biquad lowpass -> destination, 10 s."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    f = ctx.create_biquad_filter(type="lowpass", frequency=2000.0, q=2.0)
+    src.connect(f)
+    f.connect(ctx.destination)
+    return ctx, seconds
+
+
+def case_many_oscillators(n_osc=500):
+    """Config 2: 500 detuned oscillators + ADSR gain envelopes."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    rng = np.random.RandomState(42)
+    mix = ctx.create_gain(gain=1.0 / n_osc)
+    mix.connect(ctx.destination)
+    for i in range(n_osc):
+        o = ctx.create_oscillator(
+            frequency=float(80 + rng.rand() * 2000),
+            detune=float(rng.randn() * 15))
+        env = ctx.create_gain(gain=0.0)
+        t0 = float(rng.rand() * 2.0)
+        env.gain.set_value_at_time(0.0, t0)
+        env.gain.linear_ramp_to_value_at_time(1.0, t0 + 0.05)       # attack
+        env.gain.set_target_at_time(0.6, t0 + 0.05, 0.1)            # decay
+        env.gain.set_target_at_time(0.0, t0 + 4.0, 0.3)             # release
+        o.connect(env)
+        env.connect(mix)
+        o.start(t0)
+    return ctx, seconds
+
+
+def case_convolution_reverb():
+    """Config 3: convolution reverb (parking-garage IR) + feedback delay."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 44100.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    dry = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    ir = ctx.decode_audio_data_sync(
+        os.path.join(SAMPLES, "parking-garage-response.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = dry
+    src.start()
+    verb = ctx.create_convolver()
+    verb.set_buffer(ir)
+    src.connect(verb)
+    verb.connect(ctx.destination)
+    # feedback delay network on the dry path
+    d = ctx.create_delay(max_delay_time=1.0)
+    d.delay_time.value = 0.31
+    fb = ctx.create_gain(gain=0.4)
+    src.connect(d)
+    d.connect(fb)
+    fb.connect(d)
+    fb.connect(ctx.destination)
+    return ctx, seconds
+
+
+def case_hrtf_moving():
+    """Config 4: HRTF panner with a moving listener (a-rate automation)."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 44100.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    osc = ctx.create_oscillator(type="sawtooth", frequency=220.0)
+    p = ctx.create_panner(panning_model="HRTF", position_z=-2.0)
+    for t in np.linspace(0, seconds, 64):
+        ang = 2 * np.pi * t / seconds
+        ctx.listener.position_x.linear_ramp_to_value_at_time(
+            float(np.sin(ang) * 3), float(t))
+        ctx.listener.position_z.linear_ramp_to_value_at_time(
+            float(np.cos(ang) * 3), float(t))
+    osc.connect(p)
+    p.connect(ctx.destination)
+    osc.start()
+    return ctx, seconds
+
+
+def case_mastering_chain():
+    """Config 5a: waveshaper (4x oversample) -> compressor -> analyser."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    shaper = ctx.create_wave_shaper(oversample="4x")
+    shaper.set_curve(np.tanh(np.linspace(-2, 2, 2048)).astype(np.float32))
+    comp = ctx.create_dynamics_compressor(threshold=-18.0, ratio=4.0)
+    anal = ctx.create_analyser(fft_size=2048)
+    src.connect(shaper)
+    shaper.connect(comp)
+    comp.connect(anal)
+    anal.connect(ctx.destination)
+    return ctx, seconds
+
+
+def case_batched_graphs(batch=256):
+    """Config 5b: batched independent graphs (vmapped filter sweeps)."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.parallel.batch import GraphBatch
+
+    fs, seconds = 48000.0, 2.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    f = ctx.create_biquad_filter(type="lowpass", q=3.0)
+    f.frequency.set_value_at_time(200.0, 0.0)
+    f.frequency.exponential_ramp_to_value_at_time(8000.0, seconds)
+    src.connect(f)
+    f.connect(ctx.destination)
+
+    gb = GraphBatch(ctx, batch=batch)
+    sweeps = np.linspace(0.5, 2.0, batch, dtype=np.float32)
+    base = np.geomspace(200.0, 8000.0, ctx.length, dtype=np.float32)
+    gb.override_param(f, "frequency", sweeps[:, None] * base[None, :])
+
+    out = gb.render()
+    out.block_until_ready()  # compile + run
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = gb.render()
+        out.block_until_ready()
+    wall = (time.perf_counter() - t0) / runs
+    return batch * seconds / wall, batch / wall
+
+
+CASES = {
+    "buffer_biquad": case_buffer_biquad,
+    "many_oscillators": case_many_oscillators,
+    "convolution_reverb": case_convolution_reverb,
+    "hrtf_moving": case_hrtf_moving,
+    "mastering_chain": case_mastering_chain,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(CASES) + ["batched_graphs"]
+    for name in names:
+        try:
+            if name == "batched_graphs":
+                rtf, gps = case_batched_graphs()
+                print(json.dumps({
+                    "case": name, "metric": "batched_realtime_factor",
+                    "value": round(rtf, 1), "graphs_per_second": round(gps, 2),
+                }), flush=True)
+                continue
+            ctx, seconds = CASES[name]()
+            rtf, compile_s = _measure(ctx, seconds)
+            print(json.dumps({
+                "case": name, "metric": "offline_render_realtime_factor",
+                "value": round(rtf, 1), "compile_seconds": round(compile_s, 1),
+            }), flush=True)
+        except Exception as exc:
+            print(json.dumps({"case": name, "error": str(exc)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

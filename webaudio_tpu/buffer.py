@@ -108,13 +108,17 @@ class AudioBuffer:
             return
         rate = sample_rate / self._sample_rate
         new_len = int(round(self.length * rate))
-        # sample positions in source coordinates
-        pos = np.arange(new_len, dtype=np.float64) / rate
-        k = np.floor(pos).astype(np.int64)
-        frac = (pos - k).astype(np.float32)
-        k1 = np.minimum(k + 1, self.length - 1)
-        d = self._data
-        self._data = (d[:, k] * (1.0 - frac) + d[:, k1] * frac).astype(np.float32)
+        from .native import resample_linear_native
+
+        out = resample_linear_native(self._data, rate, new_len)
+        if out is None:  # numpy fallback
+            pos = np.arange(new_len, dtype=np.float64) / rate
+            k = np.floor(pos).astype(np.int64)
+            frac = (pos - k).astype(np.float32)
+            k1 = np.minimum(k + 1, self.length - 1)
+            d = self._data
+            out = (d[:, k] * (1.0 - frac) + d[:, k1] * frac).astype(np.float32)
+        self._data = out
         self._sample_rate = float(sample_rate)
         self._device = None
 

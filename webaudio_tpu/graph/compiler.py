@@ -149,6 +149,7 @@ class CompiledGraph:
     jit_scan: Any = None
     scan_render: Any = None
     resource_cache: Any = None
+    failed: dict = field(default_factory=dict)
 
 
 def _propagate_channel_counts(nodes, edges):
@@ -279,6 +280,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             val = jnp.clip(val, p.min_value, p.max_value)
         return val, None
 
+    failed: dict = {}  # node id -> exception (processor failure isolation)
+
     def block_fn(states, frame0, xs_params, resources=None):
         """One scan step: run every node in topological order."""
         scope = BlockScope(frame0, block_frames, sample_rate)
@@ -322,28 +325,43 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             node = nodes[nid]
             kern = kernels[nid]
             scope.node_resources = resources.get(_k(nid))
-            if nid in ordered.muted:
+            if nid in ordered.muted or nid in failed:
                 for oi, c in enumerate(out_counts[nid]):
                     signals[(nid, oi)] = jnp.zeros((c, block_frames), jnp.float32)
                 continue
-            if role == "node":
-                ins = gather_inputs(nid, node)
-                prm = gather_params(nid, node)
-                st, outs = kern.process(scope, states.get(_k(nid)), ins, prm)
-                new_states[_k(nid)] = st
-                for oi, o in enumerate(outs):
-                    signals[(nid, oi)] = o
-            elif role == "reader":
-                prm = gather_params(nid, node)
-                st, outs = kern.process_reader(scope, new_states.get(_k(nid), states.get(_k(nid))), prm)
-                new_states[_k(nid)] = st
-                for oi, o in enumerate(outs):
-                    signals[(nid, oi)] = o
-            else:  # writer
-                ins = gather_inputs(nid, node)
-                prm = gather_params(nid, node)
-                st = kern.process_writer(scope, new_states.get(_k(nid), states.get(_k(nid))), ins, prm)
-                new_states[_k(nid)] = st
+            # per-node failure isolation: a processor that throws during
+            # tracing is removed from the graph (its outputs go silent) and
+            # the rest keeps rendering — the compiled analog of the
+            # reference's per-quantum catch_unwind (graph.rs:507-521,
+            # tests/processor_error.rs)
+            try:
+                if role == "node":
+                    ins = gather_inputs(nid, node)
+                    prm = gather_params(nid, node)
+                    st, outs = kern.process(scope, states.get(_k(nid)), ins, prm)
+                    new_states[_k(nid)] = st
+                    for oi, o in enumerate(outs):
+                        signals[(nid, oi)] = o
+                elif role == "reader":
+                    prm = gather_params(nid, node)
+                    st, outs = kern.process_reader(
+                        scope, new_states.get(_k(nid), states.get(_k(nid))), prm)
+                    new_states[_k(nid)] = st
+                    for oi, o in enumerate(outs):
+                        signals[(nid, oi)] = o
+                else:  # writer
+                    ins = gather_inputs(nid, node)
+                    prm = gather_params(nid, node)
+                    st = kern.process_writer(
+                        scope, new_states.get(_k(nid), states.get(_k(nid))), ins, prm)
+                    new_states[_k(nid)] = st
+            except Exception as exc:
+                failed[nid] = exc
+                for oi, c in enumerate(out_counts[nid]):
+                    signals[(nid, oi)] = jnp.zeros((c, block_frames), jnp.float32)
+                cb = getattr(node, "_onprocessorerror", None)
+                if cb is not None:
+                    cb(exc)
 
         dest_sig = signals.get((dest_id, 0))
         if dest_sig is None:
@@ -355,7 +373,7 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         in_counts=in_counts, out_counts=out_counts, param_plan=param_plan,
         block_frames=block_frames, sample_rate=sample_rate,
         n_dest_channels=n_dest_channels, muted=ordered.muted,
-        cycle_breakers=ordered.cycle_breakers)
+        cycle_breakers=ordered.cycle_breakers, failed=failed)
 
     def scan_render(init_states, frame0s, xs_params, resources):
         def step(states, xs):

@@ -33,6 +33,13 @@ def read_wav(source) -> tuple[np.ndarray, float]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotSupportedError("not a RIFF/WAVE stream")
 
+    # native fast path (webaudio_tpu/native/wahost.cpp)
+    from ..native import wav_decode_native
+
+    native = wav_decode_native(data)
+    if native is not None:
+        return native
+
     pos = 12
     fmt = None
     payload = None

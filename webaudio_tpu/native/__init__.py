@@ -1,0 +1,102 @@
+"""ctypes bindings for the native host runtime (wahost.cpp).
+
+Builds the shared library on demand with g++ (cached next to the source);
+every entry point has a numpy fallback in the pure-Python modules, so the
+engine works without a C++ toolchain too.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "wahost.cpp")
+_LIB = os.path.join(_HERE, "libwahost.so")
+
+_lock = threading.Lock()
+_lib = None
+_unavailable = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _unavailable
+    with _lock:
+        if _lib is not None or _unavailable:
+            return _lib
+        if not os.path.exists(_LIB) or \
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                _unavailable = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _unavailable = True
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.wah_wav_probe.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_double)]
+        lib.wah_wav_probe.restype = ctypes.c_int
+        lib.wah_wav_decode.argtypes = [u8p, ctypes.c_uint64, f32p]
+        lib.wah_wav_decode.restype = ctypes.c_int
+        lib.wah_resample_linear.argtypes = [
+            f32p, ctypes.c_uint32, ctypes.c_uint64, f32p, ctypes.c_uint64,
+            ctypes.c_double]
+        lib.wah_resample_linear.restype = None
+        _lib = lib
+        return _lib
+
+
+def wav_decode_native(data: bytes):
+    """-> ((channels, frames) f32, sample_rate) or None if unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    ch = ctypes.c_uint32()
+    frames = ctypes.c_uint32()
+    rate = ctypes.c_double()
+    if lib.wah_wav_probe(buf, len(data), ctypes.byref(ch),
+                         ctypes.byref(frames), ctypes.byref(rate)) != 0:
+        return None
+    out = np.empty((ch.value, frames.value), np.float32)
+    rc = lib.wah_wav_decode(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        return None
+    return out, rate.value
+
+
+def resample_linear_native(data: np.ndarray, ratio: float,
+                           out_frames: int):
+    """-> (channels, out_frames) f32 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.float32)
+    out = np.empty((data.shape[0], out_frames), np.float32)
+    lib.wah_resample_linear(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[0], data.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_frames, ratio)
+    return out

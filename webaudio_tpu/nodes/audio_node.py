@@ -171,6 +171,10 @@ class AudioNode:
         self._params[name] = p
         return p
 
+    def set_onprocessorerror(self, callback):
+        """reference: audio_node.rs:449-465."""
+        self._onprocessorerror = callback
+
     def foreign_params(self) -> dict:
         """Params of *other* nodes this node's kernel reads, as
         alias -> (node, param_name).  The analog of the reference's hidden
