@@ -80,6 +80,25 @@ def case_many_oscillators(n_osc=500):
     return ctx, seconds
 
 
+def case_many_oscillators_fused(n_osc=500):
+    """Config 2, TPU-first formulation: one fused voice-bank kernel
+    (SURVEY.md §2.2: '500 oscillators = one vmapped voice tensor')."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    rng = np.random.RandomState(42)
+    bank = ctx.create_oscillator_bank(
+        frequencies=80 + rng.rand(n_osc) * 2000,
+        starts=rng.rand(n_osc) * 2.0,
+        stops=rng.rand(n_osc) * 2.0 + 6.0,
+        attacks=0.05, decays=0.1, sustains=0.6, releases=0.3,
+        volumes=1.0 / n_osc, stereo=True,
+        pans=rng.rand(n_osc) * 2 - 1)
+    bank.connect(ctx.destination)
+    return ctx, seconds
+
+
 def case_convolution_reverb():
     """Config 3: convolution reverb (parking-garage IR) + feedback delay."""
     import webaudio_tpu as wa
@@ -184,6 +203,7 @@ def case_batched_graphs(batch=256):
 CASES = {
     "buffer_biquad": case_buffer_biquad,
     "many_oscillators": case_many_oscillators,
+    "many_oscillators_fused": case_many_oscillators_fused,
     "convolution_reverb": case_convolution_reverb,
     "hrtf_moving": case_hrtf_moving,
     "mastering_chain": case_mastering_chain,

@@ -229,6 +229,13 @@ class BaseAudioContext:
 
         return IIRFilterNode(self, feedforward=feedforward, feedback=feedback, **kw)
 
+    def create_oscillator_bank(self, frequencies, **kw):
+        """TPU-native extension: V oscillator voices + ADSR envelopes in one
+        fused kernel (see nodes/oscillator_bank.py)."""
+        from ..nodes.oscillator_bank import OscillatorBankNode
+
+        return OscillatorBankNode(self, frequencies, **kw)
+
     def create_oscillator(self, **kw):
         from ..nodes.oscillator import OscillatorNode
 

@@ -108,6 +108,7 @@ class GraphBatch:
                 [arr, np.repeat(arr[:, -1:], padded - arr.shape[1], 1)], axis=1)
         self._xs.setdefault(str(node.node_id), {})[param_name] = \
             arr.reshape(self.batch, self.nb, B)
+        self._staged = None  # restage on next render
         # param must not be baked as constant in the compiled fn
         plan = self.cg.param_plan.get((node.node_id, param_name))
         if plan is not None and plan.is_constant:
@@ -115,19 +116,28 @@ class GraphBatch:
                 "param was compiled as a constant; schedule at least one "
                 "automation event before batching to make it dense")
 
-    def render(self):
-        """-> (batch, channels, total_frames) on device (sharded if mesh)."""
+    def _stage(self):
+        """Upload params/states/resources once; reuse across renders
+        (host->device uploads dominate otherwise — ~100 MB of per-instance
+        automation tensors per call)."""
+        if getattr(self, "_staged", None) is not None:
+            return self._staged
         xs = jax.tree_util.tree_map(jnp.asarray, self._xs)
         res = jax.tree_util.tree_map(jnp.asarray, self._resources)
+        states = self._states
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("graphs"))
             xs = jax.device_put(xs, sh)
-            states = jax.device_put(self._states, sh)
+            states = jax.device_put(states, sh)
             res = jax.device_put(res, NamedSharding(self.mesh, P()))
-        else:
-            states = self._states
-        out = self._fn(states, xs, res)
-        return out[:, :, : self.total_frames]
+        self._staged = (states, xs, res)
+        return self._staged
+
+    def render(self):
+        """-> (batch, channels, padded_frames) on device (sharded if mesh);
+        slice [:, :, :total_frames] host-side after transfer."""
+        states, xs, res = self._stage()
+        return self._fn(states, xs, res)
 
 
 def default_mesh(axis: str = "graphs") -> Mesh:
