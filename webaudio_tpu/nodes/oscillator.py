@@ -34,12 +34,15 @@ class OscillatorType(str, Enum):
 
 class _OscillatorKernel(Kernel):
     def __init__(self, type_: OscillatorType, wavetable, start_frame: int,
-                 stop_frame: int, start_time: float, sample_rate: float):
+                 stop_frame: int, start_time: float, sample_rate: float,
+                 const_freq: float | None = None):
         self.type_ = type_
         self.wavetable = None if wavetable is None else np.asarray(wavetable)
         self.start_frame = start_frame
         self.stop_frame = stop_frame
         self.sample_rate = sample_rate
+        # constant computed frequency -> closed-form phase (no cumsums)
+        self.const_freq = const_freq
         # sub-sample start phase pre-advance ratio in [0, 1)
         # (reference: oscillator.rs:521-529)
         if start_frame >= 2**31 - 1:
@@ -55,20 +58,34 @@ class _OscillatorKernel(Kernel):
 
     def process(self, scope, state, inputs, params):
         fs = self.sample_rate
-        freq = params["frequency"]
-        detune = params["detune"]
-        computed = osc_ops.computed_frequency(freq, detune)
-        incr64 = computed.astype(jnp.float64) / fs
-        incr64 = jnp.broadcast_to(incr64, (scope.frames,))
-        incr = incr64.astype(jnp.float32)
         mask = scope.active_mask(self.start_frame, self.stop_frame)
 
-        # start correction applies from the block containing the first
-        # active sample onward (carried through the f64 phase afterwards)
-        at_start = scope.t_idx == self.start_frame
-        corr = jnp.sum(jnp.where(at_start, incr64, 0.0)) * self.start_ratio
+        if self.const_freq is not None:
+            # closed-form phase for constant frequency: no cumsums, no
+            # carry dependency — phase = incr * (n - start) + ratio*incr
+            computed = jnp.float32(self.const_freq)
+            incr_host = np.float64(np.float32(self.const_freq)) / fs
+            ref = min(self.start_frame, 2**31 - 1)
+            n_rel = (scope.t_idx - np.int32(ref)).astype(jnp.float64)
+            phase = jnp.mod((n_rel + self.start_ratio) * incr_host,
+                            1.0).astype(jnp.float32)
+            incr = jnp.broadcast_to(jnp.float32(incr_host), (scope.frames,))
+            carry = state["phase"]  # structural placeholder
+        else:
+            freq = params["frequency"]
+            detune = params["detune"]
+            computed = osc_ops.computed_frequency(freq, detune)
+            incr64 = computed.astype(jnp.float64) / fs
+            incr64 = jnp.broadcast_to(incr64, (scope.frames,))
+            incr = incr64.astype(jnp.float32)
 
-        phase, carry = osc_ops.accumulate_phase(state["phase"], incr64, mask, corr)
+            # start correction applies from the block containing the first
+            # active sample onward (carried through the f64 phase afterwards)
+            at_start = scope.t_idx == self.start_frame
+            corr = jnp.sum(jnp.where(at_start, incr64, 0.0)) * self.start_ratio
+
+            phase, carry = osc_ops.accumulate_phase(
+                state["phase"], incr64, mask, corr)
 
         nyquist = fs / 2.0
         audible = jnp.abs(computed) < nyquist
@@ -151,5 +168,16 @@ class OscillatorNode(AudioScheduledSourceNode):
         table = None
         if self._type == OscillatorType.CUSTOM:
             table = self._periodic_wave.as_array()
+        const_freq = None
+        plans = render_ctx.param_plans
+        if plans and plans["frequency"].is_constant and plans["detune"].is_constant:
+            f = np.float32(min(max(plans["frequency"].scalar,
+                                   self.frequency.min_value),
+                               self.frequency.max_value))
+            d = np.float32(min(max(plans["detune"].scalar,
+                                   self.detune.min_value),
+                               self.detune.max_value))
+            const_freq = float(np.float32(f * np.exp2(d / np.float32(1200.0))))
         return _OscillatorKernel(self._type, table, start, stop,
-                                 self._start_time, render_ctx.sample_rate)
+                                 self._start_time, render_ctx.sample_rate,
+                                 const_freq=const_freq)
