@@ -83,6 +83,7 @@ class _BufferSourceKernel(Kernel):
         return {
             "buffer_time": jnp.zeros((), jnp.float64),
             "elapsed": jnp.zeros((), jnp.float64),
+            "entered": jnp.zeros((), jnp.bool_),
         }
 
     def process(self, scope, state, inputs, params):
@@ -143,13 +144,19 @@ class _BufferSourceKernel(Kernel):
             le = self.loop_end * self.buf_rate
             loop_len = le - ls
             started_before = self.offset * self.buf_rate
-            entered_fwd = (started_before < le) & (pos >= ls)
-            entered_bwd = (started_before >= le) & (pos < le)
-            entered = entered_fwd | entered_bwd
+            # the reference's entered_loop flag is STICKY (delay.rs comment /
+            # audio_buffer_source.rs:700-717): once playback crosses into the
+            # loop region the wrap applies forever — cumulative OR over the
+            # per-sample entry condition, carried across blocks
+            cond = jnp.where(started_before < le, pos >= ls, pos < le)
+            entered = state["entered"] | (jnp.cumsum(
+                (cond & active).astype(jnp.int32)) > 0)
             wrapped = ls + jnp.mod(pos - ls, loop_len)
             pos_eff = jnp.where(entered, wrapped, pos)
+            entered_carry = entered[-1]
         else:
             pos_eff = pos
+            entered_carry = state["entered"]
 
         valid = active & (pos_eff >= 0.0) & (pos_eff < L)
 
@@ -177,6 +184,7 @@ class _BufferSourceKernel(Kernel):
         new_state = {
             "buffer_time": pos0 + total,      # in buffer samples
             "elapsed": state["elapsed"] + total_abs,
+            "entered": entered_carry,
         }
         return new_state, [out]
 

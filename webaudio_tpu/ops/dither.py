@@ -1,0 +1,68 @@
+"""TPU-side dithered quantization for 16-bit export (Pallas kernel).
+
+The reference converts f32 to i16 with plain rounding on export
+(render/thread.rs:513-520 via dasp, media_recorder WAV encode).  Mastering
+pipelines want *dithered* quantization (decorrelates quantization error);
+on TPU this runs as a Pallas kernel using the on-core PRNG
+(pltpu.prng_random_bits + stochastic rounding of the scaled signal), so
+bounced audio can be quantized on-device before the single host transfer.
+
+Falls back to numpy TPD dither off-TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _dither_kernel(seed_ref, x_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0])
+    scaled = x_ref[...] * 32767.0
+    bits = pltpu.prng_random_bits(scaled.shape)
+    # one uniform in [0,1): stochastic rounding == 1-LSB RPDF dither
+    u = bits.astype(jnp.float32) / jnp.float32(2**32) + 0.5
+    q = jnp.floor(scaled + u)
+    out_ref[...] = jnp.clip(q, -32768.0, 32767.0).astype(jnp.int32)
+
+
+def dither_to_i16_tpu(x, seed: int = 0):
+    """(C, T) f32 in [-1,1] -> (C, T) int32 of i16 codes, on device."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, T = x.shape
+    lanes = 128
+    pad = (-T) % lanes
+    xp = jnp.pad(x, ((0, 0), (0, pad)))
+    xp = xp.reshape(C * (T + pad) // lanes, lanes)
+
+    out = pl.pallas_call(
+        _dither_kernel,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray([seed], jnp.int32), xp)
+    return out.reshape(C, T + pad)[:, :T]
+
+
+def dither_to_i16(x, seed: int = 0):
+    """Dithered i16 quantization; Pallas on TPU, numpy TPD elsewhere."""
+    if isinstance(x, jnp.ndarray) and x.devices() and \
+            next(iter(x.devices())).platform == "tpu":
+        try:
+            return np.asarray(dither_to_i16_tpu(x, seed), np.int16)
+        except Exception:
+            pass
+    x = np.asarray(x, np.float32)
+    rng = np.random.RandomState(seed)
+    # triangular (TPD) dither, +-1 LSB
+    tpd = rng.rand(*x.shape) - rng.rand(*x.shape)
+    q = np.floor(x * 32767.0 + tpd + 0.5)
+    return np.clip(q, -32768, 32767).astype(np.int16)
