@@ -122,6 +122,14 @@ class Kernel:
         driver); read back in `process` via `scope.node_resources`."""
         return None
 
+    def tail_frames(self):
+        """How much history this kernel's state encodes, in frames, or
+        None if unbounded/sequential (not time-shardable).  Kernels with a
+        bounded tail can start from zero state `tail_frames` early and
+        converge exactly — the basis of segment-parallel rendering
+        (parallel/segments.py)."""
+        return None
+
     def process(self, scope: BlockScope, state, inputs, params):
         raise NotImplementedError
 

@@ -42,6 +42,9 @@ class _AnalyserKernel(Kernel):
     def __init__(self, channels: int):
         self.channels = channels
 
+    def tail_frames(self):
+        return MAX_FFT_SIZE
+
     def init_state(self):
         return {"ring": jnp.zeros((MAX_FFT_SIZE,), jnp.float32)}
 

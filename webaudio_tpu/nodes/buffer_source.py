@@ -49,6 +49,16 @@ class _BufferSourceKernel(Kernel):
     def __init__(self, node: "AudioBufferSourceNode", rc):
         self.sample_rate = rc.sample_rate
         self.node = node
+        # constant compound rate -> closed-form playhead: time-indexed (no
+        # carried cumsum), which both removes HLO and makes the kernel
+        # segment-shardable (see parallel/segments.py)
+        plans = rc.param_plans
+        self.const_rate = None
+        if plans and plans["playback_rate"].is_constant and \
+                plans["detune"].is_constant:
+            pr = np.float64(np.float32(plans["playback_rate"].scalar))
+            dt_ = np.float64(np.float32(plans["detune"].scalar))
+            self.const_rate = float(pr * np.exp2(dt_ / 1200.0))
         buf = node.buffer
         self.has_buffer = buf is not None
         if self.has_buffer:
@@ -79,6 +89,10 @@ class _BufferSourceKernel(Kernel):
     def resources(self):
         return None if self.data_host is None else {"data": self.data_host}
 
+    def tail_frames(self):
+        return 0 if (self.const_rate is not None or not self.has_buffer) \
+            else None
+
     def init_state(self):
         return {
             "buffer_time": jnp.zeros((), jnp.float64),
@@ -90,7 +104,80 @@ class _BufferSourceKernel(Kernel):
         B = scope.frames
         if not self.has_buffer:
             return state, [jnp.zeros((1, B), jnp.float32)]
+        if self.const_rate is not None:
+            return self._process_closed_form(scope, state)
+        return self._process_cumsum(scope, state, inputs, params)
 
+    def _process_closed_form(self, scope, state):
+        """Constant-rate playback: playhead is a pure function of the global
+        sample index (covers the reference's fast track and constant-rate
+        slow track)."""
+        B = scope.frames
+        fs = self.sample_rate
+        dt = 1.0 / fs
+        rate = self.const_rate
+        ratio = self.buf_rate / fs
+        L = float(self.buf_len)
+
+        if self.start_frame < 2**31 - 1:
+            delta = self.start_frame * dt - self.start_time
+        else:
+            delta = 0.0
+        offset_eff = min(max(self.offset + delta * rate, 0.0), self.buf_duration)
+        if self.loop:
+            if rate >= 0.0:
+                offset_eff = min(offset_eff, self.loop_end)
+            else:
+                offset_eff = max(offset_eff, self.loop_start)
+        offset_pos = offset_eff * self.buf_rate
+
+        sched = scope.active_mask(self.start_frame, self.stop_frame)
+        n_rel = (scope.t_idx - np.int32(min(self.start_frame, 2**31 - 1))
+                 ).astype(jnp.float64)
+        dur_ok = n_rel * abs(rate) < self.duration * fs
+        active = sched & dur_ok
+        pos = offset_pos + (rate * ratio) * n_rel
+
+        if self.loop:
+            ls = self.loop_start * self.buf_rate
+            le = self.loop_end * self.buf_rate
+            loop_len = le - ls
+            if rate >= 0.0:
+                entered = (offset_pos < le) & (pos >= ls)
+            elif offset_pos < le:
+                entered = jnp.broadcast_to(jnp.bool_(offset_pos >= ls), pos.shape)
+            else:
+                entered = pos < le
+            wrapped = ls + jnp.mod(pos - ls, loop_len)
+            pos_eff = jnp.where(entered, wrapped, pos)
+        else:
+            pos_eff = pos
+
+        valid = active & (pos_eff >= 0.0) & (pos_eff < L)
+        out = self._fetch(scope, pos_eff, valid)
+        return state, [out]
+
+    def _fetch(self, scope, playhead, valid):
+        floored = jnp.floor(playhead)
+        prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
+        k = (playhead - floored).astype(jnp.float32)
+        if self.loop:
+            import math as _math
+
+            start_idx = int(_math.ceil(self.loop_start * self.buf_rate))
+            next_i = jnp.where(prev_i + 1 >= self.buf_len,
+                               jnp.int32(min(start_idx, self.buf_len - 1)),
+                               prev_i + 1)
+        else:
+            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
+        data = scope.node_resources["data"]
+        a = data[:, prev_i]
+        b = data[:, next_i]
+        out = a * (1.0 - k) + b * k
+        return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
+
+    def _process_cumsum(self, scope, state, inputs, params):
+        B = scope.frames
         fs = self.sample_rate
         dt = 1.0 / fs
         # k-rate compound rate (reference: audio_buffer_source.rs:489-493)

@@ -18,6 +18,9 @@ class _SplitterKernel(Kernel):
     def __init__(self, n_outputs: int):
         self.n = n_outputs
 
+    def tail_frames(self):
+        return 0
+
     def process(self, scope, state, inputs, params):
         x = inputs[0]
         c_in = x.shape[0]
@@ -65,6 +68,9 @@ class ChannelSplitterNode(AudioNode):
 class _MergerKernel(Kernel):
     def __init__(self, n_inputs: int):
         self.n = n_inputs
+
+    def tail_frames(self):
+        return 0
 
     def process(self, scope, state, inputs, params):
         # each input was mixed to 1 channel by fan-in

@@ -19,6 +19,9 @@ class _ConstantSourceKernel(Kernel):
         self.start_frame = start_frame
         self.stop_frame = stop_frame
 
+    def tail_frames(self):
+        return 0
+
     def process(self, scope, state, inputs, params):
         offset = params["offset"]
         mask = scope.active_mask(self.start_frame, self.stop_frame)

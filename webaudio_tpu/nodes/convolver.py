@@ -61,6 +61,9 @@ class _ConvolverKernel(Kernel):
     def resources(self):
         return {"h": self.h_spectra} if self.has_ir else None
 
+    def tail_frames(self):
+        return (self.k + 1) * self.partition if self.has_ir else 0
+
     def init_state(self):
         if not self.has_ir:
             return None

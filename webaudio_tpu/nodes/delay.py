@@ -36,6 +36,9 @@ class _DelayKernel(Kernel):
         self.sample_rate = sample_rate
         self.in_cycle = in_cycle
 
+    def tail_frames(self):
+        return None if self.in_cycle else self.R
+
     def init_state(self):
         return {"ring": jnp.zeros((self.channels, self.R), jnp.float32)}
 

@@ -15,6 +15,9 @@ from .audio_node import AudioNode, AudioNodeOptions
 
 
 class _GainKernel(Kernel):
+    def tail_frames(self):
+        return 0
+
     def process(self, scope, state, inputs, params):
         g = params["gain"]
         return state, [inputs[0] * g]

@@ -132,6 +132,9 @@ class HrtfPannerKernel(Kernel):
                 "positions": self.positions.astype(np.float32),
                 "faces": self.faces}
 
+    def tail_frames(self):
+        return (self.K + 1) * PARTITION
+
     def init_state(self):
         P = PARTITION
         return {

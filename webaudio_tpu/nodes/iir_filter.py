@@ -31,6 +31,9 @@ class _IIRKernel(Kernel):
     def resources(self):
         return {"h": self.h_spectra}
 
+    def tail_frames(self):
+        return (self.k + 1) * self.partition
+
     def init_state(self):
         return fft_conv.PartitionedConvState.init(
             self.channels, self.k, self.partition)

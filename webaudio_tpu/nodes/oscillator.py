@@ -53,6 +53,10 @@ class _OscillatorKernel(Kernel):
     def resources(self):
         return None if self.wavetable is None else {"table": self.wavetable}
 
+    def tail_frames(self):
+        # closed-form phase is time-indexed; cumsum phase carries state
+        return 0 if self.const_freq is not None else None
+
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.float64)}
 

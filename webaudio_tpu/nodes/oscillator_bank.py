@@ -54,6 +54,9 @@ class _BankKernel(Kernel):
             res["pan"] = n.pans
         return res
 
+    def tail_frames(self):
+        return 0  # fully time-indexed
+
     def init_state(self):
         return None  # phases are closed-form (constant frequencies)
 

@@ -70,6 +70,9 @@ class AudioListener(AudioNode):
 
     def make_kernel(self, render_ctx):
         class _Noop(Kernel):
+            def tail_frames(self):
+                return 0
+
             def process(self, scope, state, inputs, params):
                 return state, [jnp.zeros((1, scope.frames), jnp.float32)]
 
@@ -147,6 +150,9 @@ class _EqualPowerPannerKernel(Kernel):
     def __init__(self, node: "PannerNode", mono_input: bool):
         self.n = node
         self.mono_input = mono_input
+
+    def tail_frames(self):
+        return 0
 
     def process(self, scope, state, inputs, params):
         x = inputs[0]

@@ -21,6 +21,9 @@ class _StereoPannerKernel(Kernel):
     def __init__(self, mono_input: bool):
         self.mono_input = mono_input
 
+    def tail_frames(self):
+        return 0
+
     def process(self, scope, state, inputs, params):
         x_in = inputs[0]
         pan = params["pan"]

@@ -49,6 +49,13 @@ class _WaveShaperKernel(Kernel):
     def resources(self):
         return None if self.curve is None else {"curve": self.curve}
 
+    def tail_frames(self):
+        if self.factor == 1:
+            return 0
+        from ..ops.resample import _interp_fir
+
+        return 2 * len(_interp_fir(self.factor))
+
     def init_state(self):
         if self.factor == 1:
             return None
