@@ -58,12 +58,16 @@ def main():
     out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
     out.block_until_ready()
 
-    runs = 10
-    t0 = time.perf_counter()
+    # median over runs: dispatch over the tunneled backend is jittery at
+    # the ~1 ms scale, and the mean is dominated by stragglers
+    runs = 20
+    times = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
         out.block_until_ready()
-    wall = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    wall = sorted(times)[len(times) // 2]
 
     # Optional output validation: device->host transfers on the tunneled
     # axon backend pay a ~5-minute one-time per-shape setup, so readback is

@@ -113,13 +113,12 @@ class RenderSession:
         ctx = self._context
         nb = frames // B
 
-        xs: dict = {}
-        for nid, node in ctx._nodes.items():
-            for pname, p in node.params.items():
-                plan = p.compile_for_render(ctx.sample_rate, frames,
-                                            self._frame, force_dense=True)
-                xs.setdefault(str(nid), {})[pname] = \
-                    jnp.asarray(plan.dense.reshape(nb, B))
+        rows = np.zeros((len(cg.dense_params), frames), np.float32)
+        for i, (nid, pname) in enumerate(cg.dense_params):
+            plan = ctx._nodes[nid].params[pname].compile_for_render(
+                ctx.sample_rate, frames, self._frame, force_dense=True)
+            rows[i] = plan.dense
+        xs = jnp.asarray(rows.reshape(-1, nb, B).transpose(1, 0, 2))
         if self._resources is None:
             self._resources = jax.tree_util.tree_map(
                 jnp.asarray, self._C.collect_resources(cg))

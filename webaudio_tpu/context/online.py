@@ -49,7 +49,14 @@ class AudioContext(BaseAudioContext):
     def __init__(self, latency_hint: str = "interactive",
                  sample_rate: float = 44100.0, sink_id="",
                  render_size_hint: Optional[int] = None,
-                 number_of_channels: int = 2):
+                 number_of_channels: int = 2,
+                 options: Optional[AudioContextOptions] = None):
+        if options is not None or isinstance(latency_hint, AudioContextOptions):
+            opts = options if options is not None else latency_hint
+            latency_hint = opts.latency_hint
+            sample_rate = opts.sample_rate
+            sink_id = opts.sink_id
+            render_size_hint = opts.render_size_hint
         super().__init__(sample_rate)
         if isinstance(latency_hint, (int, float)) and not isinstance(latency_hint, bool):
             # explicit latency in seconds -> frames, quantized to quanta
@@ -222,13 +229,16 @@ class AudioContext(BaseAudioContext):
             cg = self._cg
             nodes_snapshot = dict(self._nodes)
 
-            # dense per-chunk params from the live timelines
-            xs: dict = {}
-            for nid, node in nodes_snapshot.items():
-                for pname, p in node.params.items():
-                    dense = p.advance_dense(self.sample_rate, B, self._frame)
-                    xs.setdefault(str(nid), {})[pname] = \
-                        jnp.asarray(dense.reshape(1, B))
+            # dense per-chunk params from the live timelines, packed into
+            # the compiled row order (cg.dense_params)
+            rows = np.zeros((len(cg.dense_params), B), np.float32)
+            for i, (nid, pname) in enumerate(cg.dense_params):
+                node = nodes_snapshot.get(nid)
+                if node is None or pname not in node.params:
+                    continue
+                rows[i] = node.params[pname].advance_dense(
+                    self.sample_rate, B, self._frame)
+            xs = jnp.asarray(rows[None])  # (nb=1, P, B)
 
         if getattr(self, "_resources", None) is None:
             self._resources = jax.tree_util.tree_map(

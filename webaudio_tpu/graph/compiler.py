@@ -158,6 +158,7 @@ class CompiledGraph:
     scan_render: Any = None
     resource_cache: Any = None
     failed: dict = field(default_factory=dict)
+    dense_params: list = field(default_factory=list)  # packed xs row order
 
 
 def _propagate_channel_counts(nodes, edges):
@@ -244,6 +245,13 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
                 sample_rate, _pad_len(total_frames, block_frames), start_frame,
                 force_dense=force_dense_params)
 
+    # dense params are PACKED into one (P, B) tensor per block so xs stays
+    # a single leaf regardless of param count (500-param graphs otherwise
+    # cost 500 pytree leaves + 500 dynamic-slices per scan step)
+    dense_params = [key for key, plan in param_plan.items()
+                    if not plan.is_constant]
+    dense_index = {key: i for i, key in enumerate(dense_params)}
+
     # foreign params: a node can subscribe to another node's params (the
     # reference's hidden listener->panner port, concrete_base.rs:511-534)
     foreign: dict = {}
@@ -280,7 +288,7 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         if plan.is_constant:
             val = jnp.float32(min(max(plan.scalar, p.min_value), p.max_value))
         else:
-            val = xs_params[str(nid)][pname]  # (B,)
+            val = xs_params[dense_index[(nid, pname)]]  # (B,)
         aedges = param_edges.get((nid, pname))
         if aedges:
             return None, (val, aedges, p)  # resolved later with signals
@@ -381,7 +389,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         in_counts=in_counts, out_counts=out_counts, param_plan=param_plan,
         block_frames=block_frames, sample_rate=sample_rate,
         n_dest_channels=n_dest_channels, muted=ordered.muted,
-        cycle_breakers=ordered.cycle_breakers, failed=failed)
+        cycle_breakers=ordered.cycle_breakers, failed=failed,
+        dense_params=dense_params)
 
     def scan_render(init_states, frame0s, xs_params, resources):
         def step(states, xs):
@@ -414,6 +423,21 @@ def _k(nid: int) -> str:
     return f"n{nid}"
 
 
+def pack_dense_params(cg: CompiledGraph, padded: int,
+                      plans: Optional[dict] = None) -> np.ndarray:
+    """Stack the dense param arrays in `cg.dense_params` row order into one
+    (P, padded) f32 array (edge-padded to `padded` frames)."""
+    plans = plans or cg.param_plan
+    rows = np.zeros((len(cg.dense_params), padded), np.float32)
+    for i, key in enumerate(cg.dense_params):
+        arr = plans[key].dense
+        n = min(len(arr), padded)
+        rows[i, :n] = arr[:n]
+        if n < padded:
+            rows[i, n:] = arr[-1]
+    return rows
+
+
 def _pad_len(total_frames: int, block_frames: int) -> int:
     nb = -(-total_frames // block_frames)
     return nb * block_frames
@@ -432,23 +456,17 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     padded = _pad_len(total_frames, B)
     nb = padded // B
 
-    # parameter slices: dict str(nid) -> {pname: (nb, B)}, staged to device
-    # once per compiled graph (graphs with many automated params would
-    # otherwise re-upload hundreds of MB per render)
+    # dense params packed into one (nb, P, B) tensor, staged to device once
+    # per compiled graph (re-uploading per render costs hundreds of MB for
+    # many-param graphs)
     key = (total_frames, start_frame)
     if getattr(cg, "_xs_cache_key", None) == key:
         xs_params = cg._xs_cache
     else:
-        xs_params = {}
-        for (nid, pname), plan in cg.param_plan.items():
-            if plan.is_constant:
-                continue
-            arr = plan.dense
-            if len(arr) < padded:
-                arr = np.concatenate(
-                    [arr, np.full(padded - len(arr), arr[-1], np.float32)])
-            xs_params.setdefault(str(nid), {})[pname] = \
-                jnp.asarray(arr[:padded].reshape(nb, B))
+        xs_params = jnp.asarray(
+            pack_dense_params(cg, padded).reshape(-1, nb, B)
+            .transpose(1, 0, 2)) if cg.dense_params else \
+            jnp.zeros((nb, 0, B), jnp.float32)
         cg._xs_cache = xs_params
         cg._xs_cache_key = key
     frame0s = jnp.asarray(start_frame + np.arange(nb, dtype=np.int32) * B)

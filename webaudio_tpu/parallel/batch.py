@@ -44,19 +44,13 @@ class GraphBatch:
         self.nb = -(-total // B)
         padded = self.nb * B
 
-        # base param slices (shared across instances unless overridden)
-        xs: dict = {}
-        for (nid, pname), plan in self.cg.param_plan.items():
-            if plan.is_constant:
-                continue
-            arr = plan.dense
-            if len(arr) < padded:
-                arr = np.concatenate(
-                    [arr, np.full(padded - len(arr), arr[-1], np.float32)])
-            xs.setdefault(str(nid), {})[pname] = \
-                np.broadcast_to(arr[:padded].reshape(1, self.nb, B),
-                                (batch, self.nb, B))
-        self._xs = xs
+        # base param rows (shared across instances unless overridden),
+        # packed (batch, nb, P, B)
+        base = _compiler.pack_dense_params(self.cg, padded)  # (P, padded)
+        P_rows = base.shape[0]
+        base = base.reshape(P_rows, self.nb, B).transpose(1, 0, 2)
+        self._xs = np.broadcast_to(
+            base[None], (batch, self.nb, P_rows, B)).copy()
         self.frame0s = jnp.asarray(np.arange(self.nb, dtype=np.int32) * B)
 
         states = {_compiler._k(nid): self.cg.kernels[nid].init_state()
@@ -106,15 +100,14 @@ class GraphBatch:
         if arr.shape[1] < padded:
             arr = np.concatenate(
                 [arr, np.repeat(arr[:, -1:], padded - arr.shape[1], 1)], axis=1)
-        self._xs.setdefault(str(node.node_id), {})[param_name] = \
-            arr.reshape(self.batch, self.nb, B)
-        self._staged = None  # restage on next render
-        # param must not be baked as constant in the compiled fn
-        plan = self.cg.param_plan.get((node.node_id, param_name))
-        if plan is not None and plan.is_constant:
+        key = (node.node_id, param_name)
+        if key not in self.cg.dense_params:
             raise ValueError(
                 "param was compiled as a constant; schedule at least one "
                 "automation event before batching to make it dense")
+        row = self.cg.dense_params.index(key)
+        self._xs[:, :, row, :] = arr.reshape(self.batch, self.nb, B)
+        self._staged = None  # restage on next render
 
     def _stage(self):
         """Upload params/states/resources once; reuse across renders
@@ -122,7 +115,7 @@ class GraphBatch:
         automation tensors per call)."""
         if getattr(self, "_staged", None) is not None:
             return self._staged
-        xs = jax.tree_util.tree_map(jnp.asarray, self._xs)
+        xs = jnp.asarray(self._xs)
         res = jax.tree_util.tree_map(jnp.asarray, self._resources)
         states = self._states
         if self.mesh is not None:

@@ -70,28 +70,21 @@ def render_time_sharded(context, total_frames: int | None = None,
         start_block = d * nb_net - halo_blocks
         frame0s[d] = (start_block + np.arange(nb_local)) * B
 
-    # params: dense (padded) arrays sliced per device incl. halo; negative
+    # params: packed dense rows sliced per device incl. halo; negative
     # frames use the edge value (sources are inactive there anyway)
     padded_total = nb_total * B
-    xs: dict = {}
-    for (nid, pname), plan in cg.param_plan.items():
-        if plan.is_constant:
-            continue
-        arr = plan.dense
-        if len(arr) < padded_total:
-            arr = np.concatenate(
-                [arr, np.full(padded_total - len(arr), arr[-1], np.float32)])
-        per_dev = np.zeros((n_dev, nb_local, B), np.float32)
-        for d in range(n_dev):
-            for j in range(nb_local):
-                f0 = frame0s[d, j]
-                if f0 < 0:
-                    per_dev[d, j] = arr[0]
-                elif f0 >= padded_total:
-                    per_dev[d, j] = arr[-1]
-                else:
-                    per_dev[d, j] = arr[f0:f0 + B]
-        xs.setdefault(str(nid), {})[pname] = per_dev
+    packed = _compiler.pack_dense_params(cg, padded_total)  # (P, padded)
+    P_rows = packed.shape[0]
+    xs = np.zeros((n_dev, nb_local, P_rows, B), np.float32)
+    for d in range(n_dev):
+        for j in range(nb_local):
+            f0 = frame0s[d, j]
+            if f0 < 0:
+                xs[d, j] = packed[:, :1]
+            elif f0 >= padded_total:
+                xs[d, j] = packed[:, -1:]
+            else:
+                xs[d, j] = packed[:, f0:f0 + B]
 
     resources = jax.tree_util.tree_map(
         jnp.asarray, _compiler.collect_resources(cg))
@@ -101,7 +94,7 @@ def render_time_sharded(context, total_frames: int | None = None,
     def per_device(frame0s_local, xs_local, resources):
         # shapes arrive with the sharded leading axis of size 1
         f0s = frame0s_local[0]
-        xs_l = jax.tree_util.tree_map(lambda a: a[0], xs_local)
+        xs_l = xs_local[0]
 
         def step(states, xs_in):
             f0, xp = xs_in
@@ -122,14 +115,13 @@ def render_time_sharded(context, total_frames: int | None = None,
 
     fn = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P("time"),
-                  jax.tree_util.tree_map(lambda _: P("time"), xs),
+        in_specs=(P("time"), P("time"),
                   jax.tree_util.tree_map(lambda _: P(), resources)),
         out_specs=P("time"))
 
     sh = NamedSharding(mesh, P("time"))
     f0_dev = jax.device_put(jnp.asarray(frame0s), sh)
-    xs_dev = jax.device_put(jax.tree_util.tree_map(jnp.asarray, xs), sh)
+    xs_dev = jax.device_put(jnp.asarray(xs), sh)
     res_dev = jax.device_put(resources, NamedSharding(mesh, P()))
 
     out = jax.jit(fn)(f0_dev, xs_dev, res_dev)   # (n_dev, nb_net, C, B)
