@@ -200,6 +200,68 @@ def case_batched_graphs(batch=256):
     return batch * seconds / wall, batch / wall
 
 
+def case_stereo_pan_automation():
+    """padenot suite: stereo panning with a-rate automation
+    (reference: examples/benchmarks.rs stereo panning cases)."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    pan = ctx.create_stereo_panner()
+    for t in np.linspace(0, seconds, 100):
+        pan.pan.linear_ramp_to_value_at_time(
+            float(np.sin(2 * np.pi * t)), float(t))
+    src.connect(pan)
+    pan.connect(ctx.destination)
+    return ctx, seconds
+
+
+def case_iir_chain():
+    """padenot suite: IIR filtering (reference: examples/benchmarks.rs
+    iir_filter case) — order-4 filter on sampled audio."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    from scipy.signal import butter
+
+    b, a = butter(4, 0.2)
+    f = ctx.create_iir_filter(feedforward=b, feedback=a)
+    src.connect(f)
+    f.connect(ctx.destination)
+    return ctx, seconds
+
+
+def case_delay_network():
+    """padenot suite: feedback delay (reference: examples/benchmarks.rs
+    delay case) — forces one-quantum scan steps (cycle)."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
+    src = ctx.create_buffer_source(loop=True)
+    src.buffer = buf
+    src.start()
+    d = ctx.create_delay(max_delay_time=1.0)
+    d.delay_time.value = 0.35
+    fb = ctx.create_gain(gain=0.5)
+    src.connect(ctx.destination)
+    src.connect(d)
+    d.connect(fb)
+    fb.connect(d)
+    fb.connect(ctx.destination)
+    return ctx, seconds
+
+
 CASES = {
     "buffer_biquad": case_buffer_biquad,
     "many_oscillators": case_many_oscillators,
@@ -207,6 +269,9 @@ CASES = {
     "convolution_reverb": case_convolution_reverb,
     "hrtf_moving": case_hrtf_moving,
     "mastering_chain": case_mastering_chain,
+    "stereo_pan_automation": case_stereo_pan_automation,
+    "iir_chain": case_iir_chain,
+    "delay_network": case_delay_network,
 }
 
 

@@ -28,7 +28,7 @@ Host-side cost is O(events + samples) numpy work, done once per compile.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..buffer import AudioBuffer
-from ..constants import assert_valid_sample_rate, InvalidStateError
+from ..constants import assert_valid_sample_rate
 from ..graph.ir import Edge
 
 

@@ -16,7 +16,6 @@ running requires no re-trace.
 
 from __future__ import annotations
 
-import math
 import threading
 import time
 from typing import Optional
@@ -183,6 +182,21 @@ class AudioContext(BaseAudioContext):
 
     def set_onsinkchange(self, cb):
         self._event_loop.add_handler(EventType.SINK_CHANGE, cb)
+
+    def probe_node_state(self, node):
+        """Read a node's live render state (e.g. the analyser ring) from
+        the running graph — the analog of the reference's shared-memory
+        AnalyserRingBuffer reads (analysis.rs:74-140)."""
+        with self._lock:
+            states = self._states
+        if states is None:
+            return None
+        st = states.get(_compiler._k(node.node_id))
+        if st is None:
+            return None
+        import jax
+
+        return jax.tree_util.tree_map(np.asarray, st)
 
     # --- diagnostics (reference: online.rs:486-510) -------------------------
     def run_diagnostics(self) -> dict:

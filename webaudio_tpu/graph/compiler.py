@@ -29,8 +29,7 @@ import jax.numpy as jnp
 
 from ..constants import RENDER_QUANTUM_SIZE, DEFAULT_QUANTA_PER_BLOCK
 from ..ops.mixing import (
-    ChannelCountMode, ChannelInterpretation, computed_number_of_channels,
-    sum_inputs,
+    ChannelInterpretation, computed_number_of_channels, sum_inputs,
 )
 from .ir import Edge, order_graph
 

@@ -9,7 +9,7 @@ so that dropping the writer->reader edge breaks cycles.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

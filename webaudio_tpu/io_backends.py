@@ -10,7 +10,7 @@ consumer), and a WAV file sink.  All implement the AudioBackend protocol
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

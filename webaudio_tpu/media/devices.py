@@ -17,7 +17,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..constants import NotSupportedError
 from .streams import MediaStream, MediaStreamTrack
 
 

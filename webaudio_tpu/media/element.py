@@ -10,11 +10,8 @@ controls).
 from __future__ import annotations
 
 import threading
-from typing import Optional
-
 import numpy as np
 
-from ..buffer import AudioBuffer
 from .decoding import decode_audio_data
 
 

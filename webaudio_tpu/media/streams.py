@@ -13,8 +13,6 @@ import itertools
 import threading
 from typing import Iterable, Iterator, Optional
 
-import numpy as np
-
 from ..buffer import AudioBuffer
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import IndexSizeError, RENDER_QUANTUM_SIZE
+from ..constants import IndexSizeError
 from ..graph.compiler import Kernel
 from ..ops.mixing import ChannelInterpretation, mix
 from .audio_node import AudioNode, AudioNodeOptions
@@ -137,6 +137,7 @@ class AnalyserNode(AudioNode):
 
     # --- data access (reference: analysis.rs:255-400) ----------------------
     def get_float_time_domain_data(self, dst: np.ndarray):
+        self._refresh_ring()
         n = min(len(dst), self._fft_size)
         dst[:n] = self._ring[MAX_FFT_SIZE - self._fft_size:
                              MAX_FFT_SIZE - self._fft_size + n]
@@ -155,7 +156,15 @@ class AnalyserNode(AudioNode):
         out = s * self._last_fft_output[: n // 2] + (1.0 - s) * norm
         self._last_fft_output[: n // 2] = np.where(np.isfinite(out), out, 0.0)
 
+    def _refresh_ring(self):
+        probe = getattr(self.context, "probe_node_state", None)
+        if probe is not None:
+            st = probe(self)
+            if st is not None:
+                self._ring = np.asarray(st["ring"])
+
     def _maybe_fft(self):
+        self._refresh_ring()
         t = self.context.current_time
         if t != self._last_fft_time:
             self._compute_fft()

@@ -10,8 +10,7 @@ from __future__ import annotations
 from typing import Optional
 
 from ..constants import (
-    MAX_CHANNELS, IndexSizeError, InvalidAccessError, NotSupportedError,
-    assert_valid_number_of_channels,
+    IndexSizeError, InvalidAccessError, assert_valid_number_of_channels,
 )
 from ..ops.mixing import ChannelCountMode, ChannelInterpretation
 from ..param import AudioParam

@@ -7,9 +7,7 @@ render output; channel constraints differ online/offline
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from ..constants import IndexSizeError, InvalidStateError, NotSupportedError, MAX_CHANNELS
+from ..constants import IndexSizeError, InvalidStateError, MAX_CHANNELS
 from ..graph.compiler import Kernel
 from ..ops.mixing import ChannelCountMode, ChannelInterpretation
 from .audio_node import AudioNode, ChannelConfig

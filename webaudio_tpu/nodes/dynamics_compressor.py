@@ -22,7 +22,7 @@ from ..constants import RENDER_QUANTUM_SIZE, NotSupportedError
 from ..graph.compiler import Kernel
 from ..ops.mixing import ChannelCountMode
 from ..param import AudioParamDescriptor, AutomationRate
-from .audio_node import AudioNode, AudioNodeOptions, ChannelConfig
+from .audio_node import AudioNode, ChannelConfig
 
 
 def _db_to_lin(v):

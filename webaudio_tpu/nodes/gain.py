@@ -7,8 +7,6 @@ is a baked scalar.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..graph.compiler import Kernel
 from ..param import AudioParamDescriptor, AutomationRate
 from .audio_node import AudioNode, AudioNodeOptions

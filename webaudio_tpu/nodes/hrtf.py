@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from ..constants import RENDER_QUANTUM_SIZE
 from ..graph.compiler import Kernel
-from ..ops.mixing import ChannelInterpretation, mix
 
 import os as _os
 

@@ -10,7 +10,6 @@ speed-of-light path on TPU; see ops/recurrence.iir_impulse_response).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..constants import NotSupportedError, InvalidStateError
 from ..graph.compiler import Kernel

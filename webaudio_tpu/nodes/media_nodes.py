@@ -14,7 +14,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import RENDER_QUANTUM_SIZE
 from ..graph.compiler import Kernel
 from ..media.resampler import Resampler
 from ..media.streams import MediaStream, MediaStreamTrack, PushStreamTrack

@@ -10,7 +10,6 @@ beyond Nyquist emit silence while the phase keeps advancing
 
 from __future__ import annotations
 
-import math
 from enum import Enum
 
 import numpy as np

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import IndexSizeError, RENDER_QUANTUM_SIZE
+from ..constants import IndexSizeError
 from ..graph.compiler import Kernel
 from ..ops.mixing import ChannelCountMode, ChannelInterpretation
 from .audio_node import AudioNode, ChannelConfig

@@ -20,12 +20,10 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
-import jax.numpy as jnp
-
 from .constants import IndexSizeError, NotSupportedError
 from .graph.compiler import Kernel
 from .nodes.audio_node import AudioNode, AudioNodeOptions
-from .param import AudioParamDescriptor, AutomationRate
+from .param import AudioParamDescriptor
 
 
 class MessagePort:
