@@ -296,3 +296,30 @@ def test_offline_ended_event():
     src.set_onended(lambda: fired.append(True))
     ctx.start_rendering_sync()
     assert fired == [True]
+
+
+def test_blocking_event_handler_does_not_stall_render():
+    # reference: tests/stall_render.rs — a slow/blocking event handler must
+    # not stall the render loop (bounded queue, drop-on-full)
+    from webaudio_tpu import AudioContext
+
+    chunks = []
+    ctx = AudioContext(sample_rate=48000.0,
+                       sink_id=lambda chunk, ts: chunks.append(chunk))
+    ctx.set_realtime_pacing(False)
+
+    def evil_handler(ev):
+        time.sleep(10.0)  # far longer than the render budget
+
+    ctx.render_capacity.set_onupdate(evil_handler)
+    ctx.render_capacity.start(update_interval=0.05)
+    osc = ctx.create_oscillator()
+    osc.connect(ctx.destination)
+    osc.start()
+    time.sleep(1.0)
+    n = len(chunks)
+    time.sleep(0.5)
+    grew = len(chunks) - n
+    ctx._running = False  # stop render loop without joining event thread
+    ctx._render_capacity._running = False
+    assert grew > 3, "render loop stalled behind a blocking event handler"

@@ -7,12 +7,13 @@ then per vertex [xyz f32, left ir, right ir]).
 
 TPU design: vertex HRIRs are resampled to the context rate host-side (the
 reference resamples on load too), partitioned, and staged as spectra
-(V, 2, K, P+1).  Per render quantum the kernel computes the source
-direction, finds the sphere triangle hit by the ray (vectorized
-ray-triangle test over all faces), barycentrically interpolates the three
-vertex *spectra* (exact: the FFT is linear), and runs a per-quantum
-frequency-domain delay line.  Directions therefore update at k-rate
-(quantum granularity) like the reference (panner.rs:781-829).
+(V, 2, K, P+1).  The sphere's ray-triangle barycentric interpolation is
+baked host-side into an (azimuth, elevation) lookup grid
+(`bake_direction_grid`), so per render quantum the kernel just gathers
+3 vertex ids + weights, barycentrically interpolates the vertex *spectra*
+(exact: the FFT is linear), and runs a per-quantum frequency-domain delay
+line.  Directions update at k-rate (quantum granularity) like the
+reference (panner.rs:781-829).
 """
 
 from __future__ import annotations
@@ -78,41 +79,46 @@ def load_hrir_sphere(sample_rate: float, path: str = HRIR_PATH):
     return positions, faces, spectra, K
 
 
-def ray_triangle_weights(direction, positions, faces):
-    """Vectorized ray-face intersection from the origin through `direction`
-    (unit-ish), returning barycentric vertex weights (V,) summing to 1.
+@functools.lru_cache(maxsize=None)
+def bake_direction_grid(sample_rate: float, az_bins: int = 256,
+                        el_bins: int = 128, path: str = HRIR_PATH):
+    """Precompute the (azimuth, elevation) -> (vertex ids, barycentric
+    weights) lookup grid host-side (numpy ray-triangle over the whole grid
+    at once), so the kernel's per-quantum face search becomes two tiny
+    gathers.  Grid resolution ~1.4 deg, far below the sphere's own 15 deg
+    HRIR spacing."""
+    positions, faces, _, _ = load_hrir_sphere(sample_rate, path)
+    az = (np.arange(az_bins) + 0.5) / az_bins * 2 * np.pi - np.pi
+    el = (np.arange(el_bins) + 0.5) / el_bins * np.pi - np.pi / 2
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.sin(azg) * np.cos(elg),
+                  np.sin(elg),
+                  np.cos(azg) * np.cos(elg)], axis=-1).reshape(-1, 3)
 
-    direction: (nq, 3); positions: (V, 3); faces: (F, 3).
-    Returns (nq, 3) face vertex ids and (nq, 3) weights."""
-    a = positions[faces[:, 0]]  # (F, 3)
+    a = positions[faces[:, 0]]
     b = positions[faces[:, 1]]
     c = positions[faces[:, 2]]
-    # Möller–Trumbore with ray origin 0: solve t*d = a + u(b-a) + v(c-a)
     e1 = b - a
     e2 = c - a
-    d = direction[:, None, :]                       # (nq, 1, 3)
-    pvec = jnp.cross(d, e2[None, :, :])             # (nq, F, 3)
-    det = jnp.sum(pvec * e1[None, :, :], axis=-1)   # (nq, F)
-    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-    tvec = -a[None, :, :]                           # origin - a
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(qvec * d, axis=-1) * inv_det
-    t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
+    pvec = np.cross(d[:, None, :], e2[None, :, :])
+    det = np.einsum("nfk,fk->nf", pvec, e1)
+    inv_det = np.where(np.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvec = -a[None, :, :]
+    u = np.einsum("nfk,nfk->nf", tvec, pvec) * inv_det
+    qvec = np.cross(tvec, e1[None, :, :])
+    v = np.einsum("nfk,nk->nf", qvec, d) * inv_det
+    t = np.einsum("nfk,fk->nf", qvec, e2) * inv_det
     eps = 1e-5
-    hit = (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps) & (t > 0.0)
-    # pick the first hit face per quantum (there is exactly one for a
-    # closed sphere; fall back to face 0 weights if none)
-    score = jnp.where(hit, t, jnp.inf)
-    fidx = jnp.argmin(score, axis=-1)               # (nq,)
-    any_hit = jnp.isfinite(jnp.min(score, axis=-1))
-    uu = jnp.take_along_axis(u, fidx[:, None], axis=1)[:, 0]
-    vv = jnp.take_along_axis(v, fidx[:, None], axis=1)[:, 0]
-    uu = jnp.where(any_hit, uu, 0.0)
-    vv = jnp.where(any_hit, vv, 0.0)
-    w = jnp.stack([1.0 - uu - vv, uu, vv], axis=1)  # (nq, 3)
-    vids = faces[fidx]                              # (nq, 3)
-    return vids, w.astype(jnp.float32)
+    hit = (u >= -eps) & (v >= -eps) & (u + v <= 1 + eps) & (t > 0)
+    score = np.where(hit, t, np.inf)
+    fidx = np.argmin(score, axis=1)
+    nn = np.arange(len(d))
+    uu = np.where(np.isfinite(score[nn, fidx]), u[nn, fidx], 0.0)
+    vv = np.where(np.isfinite(score[nn, fidx]), v[nn, fidx], 0.0)
+    w = np.stack([1 - uu - vv, uu, vv], axis=1).astype(np.float32)
+    vids = faces[fidx].astype(np.int32)
+    return (vids.reshape(az_bins, el_bins, 3),
+            w.reshape(az_bins, el_bins, 3), az_bins, el_bins)
 
 
 class HrtfPannerKernel(Kernel):
@@ -120,16 +126,18 @@ class HrtfPannerKernel(Kernel):
         self.n = node
         self.in_channels = max(1, rc.input_channel_counts[0])
         self.block = rc.block_frames
+        self.sr = rc.sample_rate
         positions, faces, spectra, K = load_hrir_sphere(rc.sample_rate)
         self.positions = positions
         self.faces = faces
         self.spectra_host = spectra
         self.K = K
+        _, _, self.az_bins, self.el_bins = bake_direction_grid(rc.sample_rate)
 
     def resources(self):
+        vids, w, az_bins, el_bins = bake_direction_grid(self.sr)
         return {"spectra": self.spectra_host,
-                "positions": self.positions.astype(np.float32),
-                "faces": self.faces}
+                "grid_vids": vids, "grid_w": w}
 
     def tail_frames(self):
         return (self.K + 1) * PARTITION
@@ -215,10 +223,15 @@ class HrtfPannerKernel(Kernel):
         direction = jnp.where(degenerate[:, None],
                               jnp.array([0.0, 0.0, 1.0]), direction)
 
-        positions = scope.node_resources["positions"]
-        faces = scope.node_resources["faces"]
         spectra = scope.node_resources["spectra"]   # (V, 2, K, P+1)
-        vids, w = ray_triangle_weights(direction, positions, faces)
+        # direction -> precomputed barycentric grid (host-baked; the
+        # reference's per-sample face search becomes two gathers)
+        az_i = jnp.clip(((az / (2 * np.pi) + 0.5) * self.az_bins)
+                        .astype(jnp.int32), 0, self.az_bins - 1)
+        el_i = jnp.clip(((el / np.pi + 0.5) * self.el_bins)
+                        .astype(jnp.int32), 0, self.el_bins - 1)
+        vids = scope.node_resources["grid_vids"][az_i, el_i]   # (nq, 3)
+        w = scope.node_resources["grid_w"][az_i, el_i]         # (nq, 3)
 
         # interpolate spectra: (nq, 2, K, P+1)
         vspec = spectra[vids]                        # (nq, 3, 2, K, P+1)

@@ -78,6 +78,12 @@ class _WorkletKernel(Kernel):
     def init_state(self):
         return self.processor.init_state(self.rc)
 
+    def tail_frames(self):
+        # processors may declare a bounded state history to opt in to
+        # time-sharded rendering (parallel/segments.py)
+        hook = getattr(self.processor, "tail_frames", None)
+        return hook() if hook is not None else None
+
     def process(self, scope, state, inputs, params):
         state, outputs = self.processor.process(scope, state, inputs, params)
         if not isinstance(outputs, (list, tuple)):
