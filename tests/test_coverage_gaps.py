@@ -1,0 +1,105 @@
+"""Coverage for remaining node variants: true-stereo convolver, cone gain,
+position readback, 2x oversampling."""
+
+import numpy as np
+import pytest
+
+from webaudio_tpu import OfflineAudioContext
+
+
+def test_convolver_true_stereo_4ch_ir():
+    # 4-channel IR: [LL, LR, RL, RR] routing with stereo mixdown
+    # (reference: convolver.rs:420-487)
+    fs = 48000.0
+    ctx = OfflineAudioContext(2, 256, fs)
+    # stereo input: impulse on L only
+    buf = ctx.create_buffer(2, 4, fs)
+    buf.copy_to_channel(np.array([1, 0, 0, 0], np.float32), 0)
+    src = ctx.create_buffer_source()
+    src.buffer = buf
+    ir = ctx.create_buffer(4, 2, fs)
+    # LL->0.1, LR->0.2, RL->0.3, RR->0.4 at lag 0
+    for c, v in enumerate((0.1, 0.2, 0.3, 0.4)):
+        ir.copy_to_channel(np.array([v, 0], np.float32), c)
+    conv = ctx.create_convolver(disable_normalization=True)
+    conv.set_buffer(ir)
+    src.connect(conv)
+    conv.connect(ctx.destination)
+    src.start()
+    out = ctx.start_rendering_sync()
+    # L input only: out.L = L*LL + R*RL = 0.1; out.R = L*LR + R*RR = 0.2
+    assert out.get_channel_data(0)[0] == pytest.approx(0.1, abs=1e-5)
+    assert out.get_channel_data(1)[0] == pytest.approx(0.2, abs=1e-5)
+
+
+def test_panner_cone_gain():
+    fs = 48000.0
+
+    def level(orientation_x):
+        ctx = OfflineAudioContext(2, 128, fs)
+        src = ctx.create_constant_source(offset=1.0)
+        p = ctx.create_panner(position_z=-1.0,
+                              orientation_x=orientation_x,
+                              orientation_y=0.0,
+                              orientation_z=-abs(1 - abs(orientation_x)),
+                              cone_inner_angle=40.0, cone_outer_angle=90.0,
+                              cone_outer_gain=0.1)
+        src.connect(p)
+        p.connect(ctx.destination)
+        src.start()
+        out = ctx.start_rendering_sync().to_array()
+        return float(np.sqrt((out[:, 64] ** 2).sum()))
+
+    # source at (0,0,-1), listener at origin.  The reference measures the
+    # cone angle against normalize(source_pos - listener_pos)
+    # (spatial.rs:278-300), so orientation (0,0,-1) is inside the inner
+    # cone (gain 1) and (0,0,+1) is fully outside (cone_outer_gain).
+    inner = level(0.0)         # helper passes orientation (0,0,-1)
+    ctx = OfflineAudioContext(2, 128, fs)
+    src = ctx.create_constant_source(offset=1.0)
+    p = ctx.create_panner(position_z=-1.0, orientation_x=0.0,
+                          orientation_y=0.0, orientation_z=1.0,
+                          cone_inner_angle=40.0, cone_outer_angle=90.0,
+                          cone_outer_gain=0.1)
+    src.connect(p)
+    p.connect(ctx.destination)
+    src.start()
+    out = ctx.start_rendering_sync().to_array()
+    outer = float(np.sqrt((out[:, 64] ** 2).sum()))
+    assert inner > outer * 5   # outer-cone attenuation 0.1
+    assert outer == pytest.approx(inner * 0.1, rel=0.05)
+
+
+def test_buffer_source_position_readback():
+    fs = 48000.0
+    n = 1000
+    ctx = OfflineAudioContext(1, 512, fs)
+    buf = ctx.create_buffer(1, n, fs)
+    buf.copy_to_channel(np.ones(n, np.float32), 0)
+    src = ctx.create_buffer_source()
+    src.buffer = buf
+    src.connect(ctx.destination)
+    src.start()
+    ctx.start_rendering_sync()
+    # 512 frames rendered at rate 1 -> position = 512 samples = 512/fs s
+    assert src.position == pytest.approx(512 / fs, rel=1e-6)
+
+
+def test_waveshaper_2x_oversample_runs():
+    fs = 48000.0
+    n = 1024
+    x = np.sin(np.arange(n) * 0.3).astype(np.float32)
+    ctx = OfflineAudioContext(1, n, fs)
+    buf = ctx.create_buffer(1, n, fs)
+    buf.copy_to_channel(x, 0)
+    src = ctx.create_buffer_source()
+    src.buffer = buf
+    sh = ctx.create_wave_shaper(oversample="2x")
+    sh.set_curve(np.tanh(np.linspace(-2, 2, 512)).astype(np.float32))
+    src.connect(sh)
+    sh.connect(ctx.destination)
+    src.start()
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    assert np.isfinite(out).all()
+    # tanh-saturated with some linear-phase FIR ringing overshoot
+    assert 0.5 < np.abs(out).max() < 1.2

@@ -155,7 +155,29 @@ class _BufferSourceKernel(Kernel):
 
         valid = active & (pos_eff >= 0.0) & (pos_eff < L)
         out = self._fetch(scope, pos_eff, valid)
-        return state, [out]
+        # keep the playhead state current for position() readback and for
+        # a-rate re-traces that take over mid-stream
+        start_i = min(self.start_frame, 2**31 - 1)
+        max_rel = float(min(self.stop_frame, 2**31 - 1) - start_i)
+        end_rel = jnp.clip(
+            (scope.frame0 + B - np.int32(start_i)).astype(jnp.float64),
+            0.0, max(max_rel, 0.0))
+        pos_end = offset_pos + (rate * ratio) * end_rel
+        if self.loop:
+            if rate >= 0.0:
+                entered_end = (offset_pos < le) & (pos_end >= ls)
+            elif offset_pos < le:
+                entered_end = jnp.bool_(offset_pos >= ls)
+            else:
+                entered_end = pos_end < le
+            pos_end = jnp.where(entered_end,
+                                ls + jnp.mod(pos_end - ls, loop_len), pos_end)
+        new_state = {
+            "buffer_time": pos_end,
+            "elapsed": end_rel * abs(rate),
+            "entered": state["entered"],
+        }
+        return new_state, [out]
 
     def _fetch(self, scope, playhead, valid):
         floored = jnp.floor(playhead)
