@@ -278,3 +278,25 @@ def test_listener_position_moves_image():
     src.start()
     buf = ctx.start_rendering_sync()
     assert buf.get_channel_data(0)[64] > buf.get_channel_data(1)[64]
+
+
+def test_listener_param_audio_input_ordering():
+    # regression: audio driving a listener param must be ordered before the
+    # panner that subscribes to it, regardless of node creation order
+    fs = 48000.0
+    ctx = OfflineAudioContext(2, 128, fs)
+    src = ctx.create_constant_source(offset=1.0)
+    p = ctx.create_panner(position_z=-1.0)
+    src.connect(p)
+    p.connect(ctx.destination)
+    src.start()
+    # created AFTER the panner: would be topologically late without the
+    # foreign-param ordering edges
+    mover = ctx.create_constant_source(offset=5.0)
+    g = ctx.create_gain()
+    mover.connect(g)
+    g.connect(ctx.listener.position_x)
+    mover.start()
+    out = ctx.start_rendering_sync().to_array()
+    # listener far right of the source -> image hard left
+    assert out[0, 64] > out[1, 64] * 5

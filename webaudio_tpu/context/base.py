@@ -43,7 +43,8 @@ class BaseAudioContext:
         self._next_id = 0
         self._state = AudioContextState.SUSPENDED
         self._current_time = 0.0
-        self._graph_version = 0
+        self._graph_version = 0      # structural changes (re-trace needed)
+        self._param_version = 0      # automation-only changes
         self._destination = None
         self._listener = None
         self._event_handlers: dict[str, list[Callable]] = {}
@@ -96,7 +97,12 @@ class BaseAudioContext:
         self._graph_version += 1
 
     def _invalidate_param_cache(self):
-        self._graph_version += 1
+        # automation changes don't change the compiled program's structure:
+        # offline renders recompile per render anyway, and streaming drivers
+        # (online context, RenderSession) deliver params as dense tensors —
+        # bumping the structural version would force a 30-60 s XLA recompile
+        # per automation call on tunneled TPUs
+        self._param_version += 1
 
     # --- spec attributes --------------------------------------------------
     @property

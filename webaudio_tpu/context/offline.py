@@ -114,6 +114,9 @@ class OfflineAudioContext(BaseAudioContext):
             cursor = boundary
             self._current_time = cursor / fs
             self._advance_param_state(cursor)
+            # publish probe states (analyser rings, compressor reduction) so
+            # suspend callbacks observe the graph's live state
+            self._publish_probe_results(states)
 
             q = cursor // RENDER_QUANTUM_SIZE
             if q in self._suspend_callbacks:
@@ -127,16 +130,15 @@ class OfflineAudioContext(BaseAudioContext):
             "audio_seconds": total / fs,
         }
 
-        # `ended` events, computed from schedules (reference fires them from
-        # the render thread when stop time is crossed)
-        end_time = total / fs
+        # `ended` events: at offline unload the reference fires ended for
+        # every source that has started (before_drop, e.g.
+        # constant_source.rs:290-296: current_time >= start_time)
         for node in self._nodes.values():
             cb = getattr(node, "_onended", None)
             if cb is None:
                 continue
-            stop = getattr(node, "_stop_time", math.inf)
             start = getattr(node, "_start_time", math.inf)
-            if min(stop, end_time) <= end_time and start < math.inf:
+            if start < math.inf:
                 cb()
 
         self._set_state(AudioContextState.CLOSED)
@@ -179,10 +181,13 @@ class OfflineAudioContext(BaseAudioContext):
 
         for node in self._nodes.values():
             for p in node.params.values():
-                # consume the timeline up to `frame` in place
+                # consume the timeline up to `frame` in place; is_a_rate=True
+                # regardless of the param's rate — state evolution is
+                # identical and the k-rate path requires quantum-aligned
+                # lengths which the final render boundary may not satisfy
                 compile_timeline(p._timeline, self.sample_rate,
                                  frame - getattr(p, "_advanced_to", 0),
-                                 p.automation_rate.is_a_rate,
+                                 True,
                                  start_frame=getattr(p, "_advanced_to", 0))
                 p._advanced_to = frame
                 p._current_value = p._timeline.intrinsic_value

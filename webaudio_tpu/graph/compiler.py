@@ -88,21 +88,6 @@ class BlockScope:
             t < np.int32(min(stop_frame, 2**31 - 1)))
 
 
-def start_frame_of(time: float, sample_rate: float) -> int:
-    """Smallest n with n/fs >= time (host-side f64, exact)."""
-    if time == float("inf"):
-        return 2**31 - 1
-    return int(math.ceil(time * sample_rate))
-
-
-def stop_frame_of(time: float, sample_rate: float) -> int:
-    """Smallest n with n/fs >= time; samples with n < result are active
-    (n*dt < stop)."""
-    if time == float("inf"):
-        return 2**31 - 1
-    return int(math.ceil(time * sample_rate))
-
-
 class Kernel:
     """Per-node functional processor.
 
@@ -203,7 +188,16 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
 
     node_ids = list(nodes.keys())
     delay_ids = {nid for nid, n in nodes.items() if isinstance(n, DelayNode)}
-    ordered = order_graph(node_ids, edges, delay_ids)
+    # ordering must also respect foreign-param subscriptions: if node X reads
+    # node Y's param P, anything driving (Y, P) with audio must be ordered
+    # before X (otherwise the signal is silently missing at X's gather)
+    order_edges = list(edges)
+    for xid, xnode in nodes.items():
+        for alias, (src_node, pname) in xnode.foreign_params().items():
+            for e in edges:
+                if e.param == pname and e.dst == src_node.node_id:
+                    order_edges.append(Edge(e.src, e.src_output, xid, -2))
+    ordered = order_graph(node_ids, order_edges, delay_ids)
 
     total_quanta = -(-total_frames // RENDER_QUANTUM_SIZE)
     if quanta_per_block is not None:

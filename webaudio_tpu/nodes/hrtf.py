@@ -150,13 +150,12 @@ class HrtfPannerKernel(Kernel):
         }
 
     def process(self, scope, state, inputs, params):
-        from .panner import azimuth_elevation, _EqualPowerPannerKernel
+        from .panner import spatial_gains
 
         x = inputs[0]
         B = x.shape[1]
         P = PARTITION
         nq = B // P
-        n = self.n
 
         # per-quantum spatial params (k-rate HRTF, panner.rs:781-797)
         def per_quantum(p):
@@ -164,53 +163,9 @@ class HrtfPannerKernel(Kernel):
                 return jnp.broadcast_to(p, (nq,))
             return p.reshape(nq, P)[:, 0]
 
-        sp = [per_quantum(params[k]) for k in ("position_x", "position_y",
-                                               "position_z")]
-        so = [per_quantum(params[k]) for k in ("orientation_x", "orientation_y",
-                                               "orientation_z")]
-        lp = [per_quantum(params[k]) for k in ("l_position_x", "l_position_y",
-                                               "l_position_z")]
-        lf = [per_quantum(params[k]) for k in ("l_forward_x", "l_forward_y",
-                                               "l_forward_z")]
-        lu = [per_quantum(params[k]) for k in ("l_up_x", "l_up_y", "l_up_z")]
-
-        azimuth, elevation = azimuth_elevation(sp, lp, lf, lu)
-        # distance & cone gains: reuse the equal-power kernel's math by
-        # computing them inline (panner.rs:808-812)
-        helper = _EqualPowerPannerKernel(n, mono_input=True)
-        dist = jnp.sqrt((sp[0] - lp[0]) ** 2 + (sp[1] - lp[1]) ** 2
-                        + (sp[2] - lp[2]) ** 2)
-        ref_d = n.ref_distance
-        from .panner import DistanceModelType, source_listener_angle
-
-        if n.distance_model == DistanceModelType.LINEAR:
-            rolloff = min(max(n.rolloff_factor, 0.0), 1.0)
-            d2ref = min(ref_d, n.max_distance)
-            d2max = max(ref_d, n.max_distance)
-            dcl = jnp.clip(dist, d2ref, d2max)
-            dist_gain = 1.0 - rolloff * (dcl - d2ref) / (d2max - d2ref)
-        elif n.distance_model == DistanceModelType.INVERSE:
-            rolloff = max(n.rolloff_factor, 0.0)
-            dist_gain = jnp.where(
-                dist > 0.0,
-                ref_d / (ref_d + rolloff * (jnp.maximum(dist, ref_d) - ref_d)),
-                1.0)
-        else:
-            rolloff = max(n.rolloff_factor, 0.0)
-            dist_gain = (jnp.maximum(dist, ref_d) / ref_d) ** (-rolloff)
-        abs_inner = abs(n.cone_inner_angle) / 2.0
-        abs_outer = abs(n.cone_outer_angle) / 2.0
-        if abs_inner >= 180.0 and abs_outer >= 180.0:
-            cone_gain = jnp.ones_like(dist_gain)
-        else:
-            ang = source_listener_angle(sp, so, lp)
-            span = max(abs_outer - abs_inner, 1e-20)
-            t = (ang - abs_inner) / span
-            mid = (1.0 - t) + n.cone_outer_gain * t
-            cone_gain = jnp.where(ang < abs_inner, 1.0,
-                                  jnp.where(ang >= abs_outer,
-                                            n.cone_outer_gain, mid))
-        gain = (dist_gain * cone_gain).astype(jnp.float32)  # (nq,)
+        qparams = {k: per_quantum(v) for k, v in params.items()}
+        azimuth, elevation, g = spatial_gains(self.n, qparams)
+        gain = g.astype(jnp.float32)                      # (nq,)
 
         # direction vector from azimuth/elevation (panner.rs:790-800)
         az = azimuth * (np.pi / 180.0)

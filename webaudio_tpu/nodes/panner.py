@@ -146,6 +146,58 @@ def source_listener_angle(sp, so, lp):
                      (rel_len2 <= np.float32(1.17549435e-38)), 0.0, ang)
 
 
+def spatial_gains(node: "PannerNode", params):
+    """Shared spatial pipeline for both panning models: returns
+    (azimuth_deg, elevation_deg, dist_gain * cone_gain) from the node's
+    distance/cone settings and the (own + foreign listener) params.
+    reference: panner.rs:927-985 + spatial.rs."""
+    n = node
+    sp = [params["position_x"], params["position_y"], params["position_z"]]
+    so = [params["orientation_x"], params["orientation_y"],
+          params["orientation_z"]]
+    lp = [params["l_position_x"], params["l_position_y"],
+          params["l_position_z"]]
+    lf = [params["l_forward_x"], params["l_forward_y"], params["l_forward_z"]]
+    lu = [params["l_up_x"], params["l_up_y"], params["l_up_z"]]
+
+    azimuth, elevation = azimuth_elevation(sp, lp, lf, lu)
+
+    # distance gain (panner.rs:955-985), f64 in reference -> f32 here
+    dist = jnp.sqrt((sp[0] - lp[0]) ** 2 + (sp[1] - lp[1]) ** 2
+                    + (sp[2] - lp[2]) ** 2)
+    ref_d = n.ref_distance
+    if n.distance_model == DistanceModelType.LINEAR:
+        rolloff = min(max(n.rolloff_factor, 0.0), 1.0)
+        d2ref = min(ref_d, n.max_distance)
+        d2max = max(ref_d, n.max_distance)
+        dcl = jnp.clip(dist, d2ref, d2max)
+        dist_gain = 1.0 - rolloff * (dcl - d2ref) / (d2max - d2ref)
+    elif n.distance_model == DistanceModelType.INVERSE:
+        rolloff = max(n.rolloff_factor, 0.0)
+        dist_gain = jnp.where(
+            dist > 0.0,
+            ref_d / (ref_d + rolloff * (jnp.maximum(dist, ref_d) - ref_d)),
+            1.0)
+    else:
+        rolloff = max(n.rolloff_factor, 0.0)
+        dist_gain = (jnp.maximum(dist, ref_d) / ref_d) ** (-rolloff)
+
+    # cone gain (panner.rs:927-953)
+    abs_inner = abs(n.cone_inner_angle) / 2.0
+    abs_outer = abs(n.cone_outer_angle) / 2.0
+    if abs_inner >= 180.0 and abs_outer >= 180.0:
+        cone_gain = jnp.ones_like(dist_gain)
+    else:
+        ang = source_listener_angle(sp, so, lp)
+        span = max(abs_outer - abs_inner, 1e-20)
+        t = (ang - abs_inner) / span
+        mid = (1.0 - t) + n.cone_outer_gain * t
+        cone_gain = jnp.where(ang < abs_inner, 1.0,
+                              jnp.where(ang >= abs_outer,
+                                        n.cone_outer_gain, mid))
+    return azimuth, elevation, dist_gain * cone_gain
+
+
 class _EqualPowerPannerKernel(Kernel):
     def __init__(self, node: "PannerNode", mono_input: bool):
         self.n = node
@@ -156,52 +208,7 @@ class _EqualPowerPannerKernel(Kernel):
 
     def process(self, scope, state, inputs, params):
         x = inputs[0]
-        n = self.n
-        sp = [params["position_x"], params["position_y"], params["position_z"]]
-        so = [params["orientation_x"], params["orientation_y"],
-              params["orientation_z"]]
-        lp = [params["l_position_x"], params["l_position_y"],
-              params["l_position_z"]]
-        lf = [params["l_forward_x"], params["l_forward_y"], params["l_forward_z"]]
-        lu = [params["l_up_x"], params["l_up_y"], params["l_up_z"]]
-
-        azimuth, _elev = azimuth_elevation(sp, lp, lf, lu)
-
-        # distance gain (panner.rs:955-985), f64 in reference -> f32 here
-        dist = jnp.sqrt((sp[0] - lp[0]) ** 2 + (sp[1] - lp[1]) ** 2
-                        + (sp[2] - lp[2]) ** 2)
-        ref_d = n.ref_distance
-        if n.distance_model == DistanceModelType.LINEAR:
-            rolloff = min(max(n.rolloff_factor, 0.0), 1.0)
-            d2ref = min(ref_d, n.max_distance)
-            d2max = max(ref_d, n.max_distance)
-            dcl = jnp.clip(dist, d2ref, d2max)
-            dist_gain = 1.0 - rolloff * (dcl - d2ref) / (d2max - d2ref)
-        elif n.distance_model == DistanceModelType.INVERSE:
-            rolloff = max(n.rolloff_factor, 0.0)
-            dist_gain = jnp.where(
-                dist > 0.0,
-                ref_d / (ref_d + rolloff * (jnp.maximum(dist, ref_d) - ref_d)),
-                1.0)
-        else:
-            rolloff = max(n.rolloff_factor, 0.0)
-            dist_gain = (jnp.maximum(dist, ref_d) / ref_d) ** (-rolloff)
-
-        # cone gain (panner.rs:927-953)
-        abs_inner = abs(n.cone_inner_angle) / 2.0
-        abs_outer = abs(n.cone_outer_angle) / 2.0
-        if abs_inner >= 180.0 and abs_outer >= 180.0:
-            cone_gain = jnp.float32(1.0)
-        else:
-            ang = source_listener_angle(sp, so, lp)
-            span = max(abs_outer - abs_inner, 1e-20)
-            t = (ang - abs_inner) / span
-            mid = (1.0 - t) + n.cone_outer_gain * t
-            cone_gain = jnp.where(ang < abs_inner, 1.0,
-                                  jnp.where(ang >= abs_outer,
-                                            n.cone_outer_gain, mid))
-
-        g = dist_gain * cone_gain
+        azimuth, _elev, g = spatial_gains(self.n, params)
 
         # ear gains (panner.rs:988-1055)
         az = jnp.clip(azimuth, -180.0, 180.0)
