@@ -197,3 +197,40 @@ def test_cycle_without_delay_is_muted():
     g2.connect(ctx.destination)
     out = ctx.start_rendering_sync().get_channel_data(0)
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_krate_automation_with_unaligned_length():
+    # regression: k-rate automation + render length not a multiple of 128
+    # crashed in _advance_param_state
+    fs = 44100.0
+    ctx = OfflineAudioContext(1, 1000, fs)
+    buf = ctx.create_buffer(1, 1000, fs)
+    buf.copy_to_channel(np.ones(1000, np.float32), 0)
+    src = ctx.create_buffer_source()
+    src.buffer = buf
+    src.playback_rate.set_value_at_time(2.0, 0.01)  # k-rate param event
+    src.connect(ctx.destination)
+    src.start()
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    assert np.isfinite(out).all()
+
+
+def test_analyser_readback_in_suspend_callback():
+    # probe states must be live at suspend boundaries
+    fs = 48000.0
+    ctx = OfflineAudioContext(1, 4096, fs)
+    osc = ctx.create_oscillator(frequency=3000.0)
+    an = ctx.create_analyser(fft_size=1024)
+    osc.connect(an)
+    an.connect(ctx.destination)
+    osc.start()
+    seen = {}
+
+    def cb(c):
+        fd = np.zeros(an.frequency_bin_count, np.float32)
+        an.get_float_frequency_data(fd)
+        seen["peak_hz"] = float(np.argmax(fd) * fs / 1024)
+
+    ctx.suspend_sync(2048 / fs, cb)
+    ctx.start_rendering_sync()
+    assert abs(seen["peak_hz"] - 3000.0) < fs / 1024 * 1.5

@@ -323,3 +323,27 @@ def test_blocking_event_handler_does_not_stall_render():
     ctx._running = False  # stop render loop without joining event thread
     ctx._render_capacity._running = False
     assert grew > 3, "render loop stalled behind a blocking event handler"
+
+
+def test_online_automation_does_not_recompile():
+    # regression: scheduling automation on a running context must not
+    # re-trace/recompile the graph (30-60 s per program on tunneled TPUs)
+    from webaudio_tpu import AudioContext
+
+    ctx = AudioContext(sample_rate=48000.0, sink_id="none")
+    ctx.set_realtime_pacing(False)
+    osc = ctx.create_oscillator()
+    osc.connect(ctx.destination)
+    osc.start()
+    # wait until the structural compile containing the oscillator is live
+    deadline = time.time() + 10
+    while (ctx._cg is None or len(ctx._cg.order) < 2) and \
+            time.time() < deadline:
+        time.sleep(0.02)
+    cg_before = ctx._cg
+    for i in range(20):
+        osc.frequency.set_value_at_time(440.0 + i, ctx.current_time + 0.1 + i)
+    time.sleep(0.3)
+    cg_after = ctx._cg
+    ctx.close_sync()
+    assert cg_before is cg_after, "automation events must not force re-trace"
