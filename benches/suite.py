@@ -7,7 +7,10 @@ realtime factor (audio seconds per wall second per chip).  Run on the TPU:
 
     python benches/suite.py [case ...]
 
-Prints one JSON line per case.
+Prints one JSON line per case.  For clean numbers run cases in separate
+processes (tunnel dispatch state drifts over a long process, ~2x
+run-to-run variance; large host->device uploads can also hit the
+backend's flaky transfer path — see CLAUDE.md).
 """
 
 import json

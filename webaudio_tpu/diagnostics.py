@@ -48,3 +48,30 @@ def collect_diagnostics(context) -> dict:
             "cycle_breakers": sorted(cg.cycle_breakers),
         }
     return diag
+
+
+class profile_render:
+    """Context manager capturing an XLA/TPU profiler trace of whatever
+    renders inside it (the analog of the reference's per-callback timing +
+    the suggested release-profile hint, SURVEY.md §5):
+
+        with profile_render("/tmp/webaudio-trace"):
+            ctx.start_rendering_sync()
+
+    View with TensorBoard or xprof.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False
