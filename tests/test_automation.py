@@ -229,3 +229,55 @@ def test_k_rate_ramp_samples_block_starts():
     for b in range(4):
         np.testing.assert_array_equal(
             out[b * Q:(b + 1) * Q], np.full(Q, b * Q, np.float32))
+
+
+def test_linear_ramp_k_rate_multiple_blocks():
+    # reference: param.rs:2036-2093 — k-rate holds the block-start value
+    tl = Timeline(0.0)
+    tl.handle_event(ev(SET_VALUE_AT_TIME, 0.0, 0.0))
+    tl.handle_event(ev(LINEAR_RAMP, float(2 * Q), float(2 * Q)))
+    out = dense(tl, 3 * Q, a_rate=False)
+    np.testing.assert_array_equal(out[:Q], np.zeros(Q, np.float32))
+    np.testing.assert_array_equal(out[Q:2 * Q], np.full(Q, Q, np.float32))
+    np.testing.assert_array_equal(out[2 * Q:], np.full(Q, 2 * Q, np.float32))
+
+
+def test_exponential_ramp_k_rate_multiple_blocks():
+    # reference: param.rs:2275-2314
+    v0, v1 = 1.0, 16.0
+    end = 2 * Q
+    tl = Timeline(0.0)
+    tl.handle_event(ev(SET_VALUE_AT_TIME, v0, 0.0))
+    tl.handle_event(ev(EXPONENTIAL_RAMP, v1, float(end)))
+    out = dense(tl, 3 * Q, a_rate=False)
+    np.testing.assert_allclose(out[:Q], v0, rtol=1e-6)
+    expect_mid = np.float32(v0) * np.float32(v1 / v0) ** np.float32(Q / end)
+    np.testing.assert_allclose(out[Q:2 * Q], expect_mid, rtol=1e-6)
+    np.testing.assert_allclose(out[2 * Q:], v1, rtol=1e-6)
+
+
+def test_cancel_and_hold_during_exponential_ramp():
+    # reference: param.rs:3023-3093
+    v0, v1, end, tc = 1.0, 4.0, 8.0, 5.0
+    tl = Timeline(0.0)
+    tl.handle_event(ev(SET_VALUE_AT_TIME, v0, 0.0))
+    tl.handle_event(ev(EXPONENTIAL_RAMP, v1, end))
+    tl.handle_event(ev(CANCEL_AND_HOLD, time=tc))
+    out = dense(tl, 12)
+    t = np.arange(5, dtype=np.float64)
+    np.testing.assert_allclose(
+        out[:5], (np.float32(v0) * np.float32(v1 / v0)
+                  ** (t / end).astype(np.float32)), rtol=1e-6)
+    hold = np.float32(v0) * np.float32(v1 / v0) ** np.float32(tc / end)
+    np.testing.assert_allclose(out[5:], np.full(7, hold), rtol=1e-6)
+
+
+def test_cancel_and_hold_during_value_curve():
+    # reference: param.rs:3095-3140 — curve cut at tc, holds curve(tc)
+    tl = Timeline(0.0)
+    tl.handle_event(ev(SET_VALUE_CURVE, time=0.0, duration=8.0,
+                       values=np.array([0.0, 1.0, 0.0], np.float32)))
+    tl.handle_event(ev(CANCEL_AND_HOLD, time=3.0))
+    out = dense(tl, 10)
+    np.testing.assert_allclose(out[:3], [0.0, 0.25, 0.5], atol=1e-6)
+    np.testing.assert_allclose(out[3:], np.full(7, 0.75, np.float32), atol=1e-6)

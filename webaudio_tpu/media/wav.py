@@ -95,20 +95,29 @@ def read_wav(source) -> tuple[np.ndarray, float]:
 
 
 def write_wav(path_or_file, data: np.ndarray, sample_rate: float,
-              bits: int = 32) -> bytes | None:
-    """Encode (channels, frames) f32 as WAV (float32 by default, or i16)."""
+              bits: int = 32, dither: bool = False) -> bytes | None:
+    """Encode (channels, frames) f32 as WAV (float32 by default, or i16;
+    `dither=True` applies TPD/stochastic dither via ops/dither.py — a
+    Pallas kernel on TPU — before 16-bit quantization)."""
+    raw = data
     data = np.asarray(data, dtype=np.float32)
     if data.ndim == 1:
         data = data[None, :]
     channels, frames = data.shape
-    interleaved = data.T.reshape(-1)
 
     if bits == 32:
-        fmt_tag, payload = 3, interleaved.astype("<f4").tobytes()
+        fmt_tag = 3
+        payload = data.T.reshape(-1).astype("<f4").tobytes()
     elif bits == 16:
-        clipped = np.clip(interleaved, -1.0, 1.0)
-        payload = (clipped * 32767.0).round().astype("<i2").tobytes()
         fmt_tag = 1
+        if dither:
+            from ..ops.dither import dither_to_i16
+
+            codes = dither_to_i16(raw if getattr(raw, "ndim", 2) == 2 else data)
+            payload = np.asarray(codes, "<i2").T.reshape(-1).tobytes()
+        else:
+            clipped = np.clip(data.T.reshape(-1), -1.0, 1.0)
+            payload = (clipped * 32767.0).round().astype("<i2").tobytes()
     else:
         raise NotSupportedError(f"unsupported write bit depth {bits}")
 
