@@ -40,9 +40,13 @@ def render_time_sharded(context, total_frames: int | None = None,
         mesh = Mesh(devs, ("time",))
     n_dev = mesh.devices.size
 
+    # block size: want several blocks per device (halo quantizes to whole
+    # blocks, so over-large blocks waste halo work)
+    total_quanta = -(-total // 128)
+    qpb = max(1, min(total_quanta // (n_dev * 4) or 1, 128))
     cg = _compiler.compile_graph(
         dict(context._nodes), list(context._edges), context.sample_rate,
-        total, context._destination.node_id)
+        total, context._destination.node_id, quanta_per_block=qpb)
     B = cg.block_frames
 
     # shardability check + halo size
