@@ -281,3 +281,17 @@ def test_cancel_and_hold_during_value_curve():
     out = dense(tl, 10)
     np.testing.assert_allclose(out[:3], [0.0, 0.25, 0.5], atol=1e-6)
     np.testing.assert_allclose(out[3:], np.full(7, 0.75, np.float32), atol=1e-6)
+
+
+def test_set_target_to_zero_flushes_subnormals():
+    # reference: tests/denormals.rs + param.rs:1392-1399 — decay toward 0
+    # must end at exactly 0.0 (no subnormals in the buffer)
+    tl = Timeline(1.0)
+    tl.handle_event(ev(SET_VALUE_AT_TIME, 1.0, 0.0))
+    tl.handle_event(ev(SET_TARGET, 0.0, 0.0, time_constant=8.0))
+    out = dense(tl, 16 * Q)
+    # after the snap boundary the value is exactly zero
+    assert out[-1] == 0.0
+    tiny = np.finfo(np.float32).tiny
+    nonzero = out[out != 0.0]
+    assert np.all(np.abs(nonzero) >= tiny), "subnormals must be flushed"
