@@ -70,3 +70,29 @@ def test_unbounded_state_refuses():
     osc.start()
     with pytest.raises(NotTimeShardableError):
         render_time_sharded(ctx)
+
+
+def test_graph_batch_per_instance_buffers():
+    """Corpus batch-processing: each instance plays its own buffer."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.parallel.batch import GraphBatch
+    import numpy as np
+
+    fs = 48000.0
+    n = 512
+    ctx = OfflineAudioContext(1, n, fs)
+    base = ctx.create_buffer(1, n, fs)
+    base.copy_to_channel(np.ones(n, np.float32), 0)
+    src = ctx.create_buffer_source()
+    src.buffer = base
+    src.connect(ctx.destination)
+    src.start()
+
+    batch = 4
+    gb = GraphBatch(ctx, batch=batch)
+    corpus = np.stack([np.full((1, n), float(i + 1), np.float32)
+                       for i in range(batch)])
+    gb.override_buffer(src, corpus)
+    out = np.asarray(gb.render())[:, :, :n]
+    for i in range(batch):
+        np.testing.assert_allclose(out[i, 0], float(i + 1), atol=1e-6)

@@ -59,8 +59,14 @@ class GraphBatch:
             lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), states)
 
         # static kernel data (audio buffers, IR spectra): shared across
-        # instances, replicated on every device
+        # instances (replicated) unless overridden per instance via
+        # override_buffer (then batched along the graphs axis)
         self._resources = _compiler.collect_resources(self.cg)
+        self._batched_resources: set = set()  # (node_key, leaf_key)
+        self._fn = None
+
+    def _build_fn(self):
+        batched_keys = self._batched_resources
 
         def render_one(init_states, xs_params, resources):
             def step(st, xs_in):
@@ -72,19 +78,42 @@ class GraphBatch:
                                        (self.frame0s, xs_params))
             return jnp.transpose(outs, (1, 0, 2)).reshape(outs.shape[1], -1)
 
-        batched = jax.vmap(render_one, in_axes=(0, 0, None))
-        if mesh is not None:
-            sh = NamedSharding(mesh, P("graphs"))
-            repl = NamedSharding(mesh, P())
+        res_axes = {nk: {lk: (0 if (nk, lk) in batched_keys else None)
+                         for lk in leaves}
+                    for nk, leaves in self._resources.items()}
+        batched = jax.vmap(render_one, in_axes=(0, 0, res_axes))
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("graphs"))
+            repl = NamedSharding(self.mesh, P())
             spec_states = jax.tree_util.tree_map(lambda _: sh, self._states)
-            spec_xs = jax.tree_util.tree_map(lambda _: sh, self._xs)
-            spec_res = jax.tree_util.tree_map(lambda _: repl, self._resources)
+            spec_xs = sh
+            spec_res = {nk: {lk: (sh if (nk, lk) in batched_keys else repl)
+                             for lk in leaves}
+                        for nk, leaves in self._resources.items()}
             self._fn = jax.jit(
                 batched,
                 in_shardings=(spec_states, spec_xs, spec_res),
                 out_shardings=sh)
         else:
             self._fn = jax.jit(batched)
+
+    def override_buffer(self, node, stacked: np.ndarray, key: str = "data"):
+        """Give each instance its own copy of a node resource — e.g. a
+        per-instance AudioBuffer for an AudioBufferSourceNode, enabling
+        corpus batch-processing.  stacked: (batch, ...) matching the
+        resource's per-instance shape (all instances must share shapes)."""
+        nk = _compiler._k(node.node_id)
+        if nk not in self._resources or key not in self._resources[nk]:
+            raise ValueError(f"node has no staged resource {key!r}")
+        base = np.asarray(self._resources[nk][key])
+        stacked = np.asarray(stacked, base.dtype)
+        if stacked.shape != (self.batch,) + base.shape:
+            raise ValueError(
+                f"expected {(self.batch,) + base.shape}, got {stacked.shape}")
+        self._resources[nk][key] = stacked
+        self._batched_resources.add((nk, key))
+        self._staged = None
+        self._fn = None  # vmap axes changed
 
     def override_param(self, node, param_name: str, dense: np.ndarray):
         """Give each instance its own automation tensor.
@@ -120,15 +149,21 @@ class GraphBatch:
         states = self._states
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("graphs"))
+            repl = NamedSharding(self.mesh, P())
             xs = jax.device_put(xs, sh)
             states = jax.device_put(states, sh)
-            res = jax.device_put(res, NamedSharding(self.mesh, P()))
+            res = {nk: {lk: jax.device_put(
+                        v, sh if (nk, lk) in self._batched_resources else repl)
+                        for lk, v in leaves.items()}
+                   for nk, leaves in res.items()}
         self._staged = (states, xs, res)
         return self._staged
 
     def render(self):
         """-> (batch, channels, padded_frames) on device (sharded if mesh);
         slice [:, :, :total_frames] host-side after transfer."""
+        if self._fn is None:
+            self._build_fn()
         states, xs, res = self._stage()
         return self._fn(states, xs, res)
 
