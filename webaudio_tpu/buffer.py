@@ -3,8 +3,8 @@
 reference: src/buffer.rs (AudioBuffer, ChannelData).  Host-side storage is a
 single contiguous numpy `(channels, length)` f32 array (the reference uses
 Arc-copy-on-write per channel; here numpy views give the same cheap clones
-and XLA owns device memory).  `as_device_array()` stages the data to the
-accelerator once and caches it, so repeated renders gather from HBM.
+and XLA owns device memory — buffers reach HBM through each kernel's
+`resources()`, staged once per compiled graph).
 """
 
 from __future__ import annotations
@@ -29,7 +29,6 @@ class AudioBuffer:
             raise IndexSizeError("AudioBuffer length must be > 0")
         self._data = np.zeros((number_of_channels, length), dtype=np.float32)
         self._sample_rate = float(sample_rate)
-        self._device = None
 
     # --- constructors -------------------------------------------------
     @classmethod
@@ -45,7 +44,6 @@ class AudioBuffer:
         assert_valid_sample_rate(sample_rate)
         buf._data = np.ascontiguousarray(arr)
         buf._sample_rate = float(sample_rate)
-        buf._device = None
         return buf
 
     # --- spec attributes ------------------------------------------------
@@ -68,7 +66,6 @@ class AudioBuffer:
     # --- channel access (reference: buffer.rs:148-240) -----------------
     def get_channel_data(self, channel_number: int) -> np.ndarray:
         assert_valid_channel_number(channel_number, self.number_of_channels)
-        self._device = None  # caller may mutate; invalidate device cache
         return self._data[channel_number]
 
     def copy_from_channel(self, destination: np.ndarray, channel_number: int,
@@ -86,20 +83,11 @@ class AudioBuffer:
         offset = min(int(offset), self.length)
         n = min(len(source), self.length - offset)
         self._data[channel_number, offset:offset + n] = source[:n]
-        self._device = None
 
     # --- engine-side helpers --------------------------------------------
     def to_array(self) -> np.ndarray:
         """Return the raw (channels, length) f32 array (no copy)."""
         return self._data
-
-    def as_device_array(self):
-        """Stage to device once; cached until the host data is mutated."""
-        if self._device is None:
-            import jax.numpy as jnp
-
-            self._device = jnp.asarray(self._data)
-        return self._device
 
     def resample(self, sample_rate: float) -> None:
         """In-place linear-interpolation resample (reference: buffer.rs:311-363)."""
@@ -120,7 +108,6 @@ class AudioBuffer:
             out = (d[:, k] * (1.0 - frac) + d[:, k1] * frac).astype(np.float32)
         self._data = out
         self._sample_rate = float(sample_rate)
-        self._device = None
 
     def __repr__(self):
         return (f"AudioBuffer(channels={self.number_of_channels}, "
