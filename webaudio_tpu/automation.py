@@ -93,11 +93,25 @@ def _set_target(t: float, start_time: float, time_constant: float,
     return diff * math.exp(exponent) + end_value
 
 
+def _set_target_f32(t: float, start_time: float, time_constant: float,
+                    end_value: float, diff: float) -> float:
+    """Bit-faithful f32 evaluation: the reference computes
+    ``diff.mul_add(exp(exponent) as f32, end_value)`` on f32 operands
+    (param.rs:83-93).  Exact f64 products of f32 values + one final f32
+    rounding reproduce the FMA."""
+    e32 = float(np.float32(math.exp(-((t - start_time) / time_constant))))
+    d32 = float(np.float32(diff))
+    v32 = float(np.float32(end_value))
+    return float(np.float32(d32 * e32 + v32))
+
+
 def _set_value_curve_scalar(t, start_time, duration, values):
     if t - start_time >= duration:
         return float(values[-1])
     position = (len(values) - 1) * (t - start_time) / duration
-    k = int(position)
+    # `position as usize` saturates negatives to 0 in the reference
+    # (back-extrapolation before start_time, param.rs:1466-1476)
+    k = max(int(position), 0)
     phase = position - math.floor(position)
     return float((values[k + 1] - values[k]) * phase + values[k])
 
@@ -272,20 +286,54 @@ def compile_timeline(
     intrinsic = timeline.intrinsic_value
     last_event = timeline.last_event
 
+    Q = RENDER_QUANTUM_SIZE
+    # the reference runs event handlers inside a per-quantum loop; the
+    # "active block" is the quantum whose loop is executing when an event
+    # reaches the head of the queue.  Its next_block_time is where the
+    # reference updates the intrinsic with the *unguarded* event formula
+    # (back-extrapolated before start_time, see the gap handling below).
+    active_end = start_frame + Q  # frame index of the active block's end
+    walk_start = True  # no handler has run yet: is_constant_block applies
+
     def block_time_of(sample: int) -> float:
         """Start time of the quantum containing `sample`."""
-        return (sample // RENDER_QUANTUM_SIZE) * RENDER_QUANTUM_SIZE * dt
+        return (sample // Q) * Q * dt
 
-    while cursor < end_frame:
+    def _pop_block_end(end_time: float) -> int:
+        """active_end after an event whose processing finished at
+        ``end_time``: a continuing event is handled per block until
+        end_time < next_block_time, so it pops in the block *containing*
+        end_time (an exact-boundary end pops in the following block)."""
+        return (int(math.floor(end_time * fs / Q)) + 1) * Q
+
+    # NOTE: the loop must keep processing events after samples run out —
+    # the reference's final block loop runs handlers with a full buffer,
+    # and their side effects (intrinsic pollution, pops) are the
+    # continuation state for streaming / resumed compiles.
+    while True:
         if not events:
-            segments.append(_Segment(cursor, end_frame, "const", v0=intrinsic))
-            cursor = end_frame
+            if cursor < end_frame:
+                segments.append(
+                    _Segment(cursor, end_frame, "const", v0=intrinsic))
+                cursor = end_frame
             break
 
         event = events[0]
         etype = event.event_type
 
+        # SetValue event entirely beyond this compile range: hold the
+        # intrinsic value and stop (the reference's is_constant_block early
+        # exit, param.rs:1546-1560; ramps are mid-flight and must evaluate;
+        # setTarget / setValueCurve pollute the intrinsic at the active
+        # block's boundary first — handled in their branches)
+        if (etype in (SET_VALUE, SET_VALUE_AT_TIME)
+                and event.time >= end_frame * dt):
+            segments.append(_Segment(cursor, end_frame, "const", v0=intrinsic))
+            cursor = end_frame
+            break
+
         if etype in (SET_VALUE, SET_VALUE_AT_TIME):
+            walk_start = False
             # reference: param.rs:1047-1098
             time = event.time
             if time == 0.0 and etype == SET_VALUE:
@@ -301,10 +349,21 @@ def compile_timeline(
             intrinsic = event.value
             last_event = events.pop(0)
             last_event.time = time
+            # a SetValue strictly beyond the active block exits the loop
+            # (`time > next_block_time`, param.rs:1080) and pops after
+            # is_constant_block skipping, in the block containing `time`;
+            # one exactly at the boundary pops inside the active block
+            if time * fs > active_end:
+                active_end = _pop_block_end(time)
             continue
 
         if etype in _RAMPS:
-            # reference: param.rs:1094-1275
+            walk_start = False
+            # reference: param.rs:1094-1275.  A ramp with no preceding event
+            # can only arise from cancel()-rewritten timelines; the reference
+            # unwraps (panics) there — we ramp from the current intrinsic.
+            if last_event is None:
+                last_event = ParamEvent(SET_VALUE, value=intrinsic, time=0.0)
             start_time = last_event.time
             end_time = event.time
             duration = end_time - start_time
@@ -339,11 +398,73 @@ def compile_timeline(
             else:
                 intrinsic = v1
                 last_event = events.pop(0)
+            active_end = max(active_end, _pop_block_end(end_time))
             continue
 
         if etype == SET_TARGET:
             # reference: param.rs:1278-1440
-            block_time = block_time_of(cursor)
+            if last_event is None:
+                last_event = ParamEvent(SET_VALUE, value=intrinsic, time=0.0)
+            start_time = event.time
+            v0 = last_event.value
+            v1 = event.value
+            diff = v0 - v1
+            time_constant = event.time_constant
+            hold_v = intrinsic
+            ramp_next = len(events) > 1 and events[1].event_type in _RAMPS
+
+            if walk_start:
+                # at a block start, is_constant_block skips whole quanta
+                # unhandled (no intrinsic pollution) until the block
+                # containing start_time (param.rs:1527-1544)
+                b_first = int(math.floor(start_time * fs / Q)) * Q
+                hold_to = min(max(b_first, cursor), end_frame)
+                if hold_to > cursor:
+                    segments.append(_Segment(cursor, hold_to, "const",
+                                             v0=intrinsic))
+                    cursor = hold_to
+                if cursor >= end_frame:
+                    break  # never reached the handler: intrinsic untouched
+                active_end = cursor + Q
+            walk_start = False
+
+            a_nbt_t = min(active_end, end_frame) * dt  # next_block_time
+            if not ramp_next and start_time >= a_nbt_t:
+                # the event reached the head mid-block before its start: the
+                # reference fills the rest of the active block with the held
+                # intrinsic, then sets intrinsic to the *unguarded* formula
+                # at next_block_time — a back-extrapolated value (potentially
+                # enormous for exponentials) that is then frozen by
+                # is_constant_block until the start quantum
+                # (param.rs:1367-1378 + 1527-1544)
+                p1 = _set_target_f32(a_nbt_t, start_time, time_constant,
+                                     v1, diff)
+                stop = min(active_end, end_frame)
+                if stop > cursor:
+                    segments.append(_Segment(cursor, stop, "const",
+                                             v0=intrinsic))
+                    cursor = stop
+                if abs(float(np.float32(v1)) - p1) < SNAP_TO_TARGET:
+                    # snap check runs on the polluted value too
+                    # (param.rs:1380-1410)
+                    intrinsic = v1
+                    events[0] = ParamEvent(SET_VALUE_AT_TIME, value=v1,
+                                           time=a_nbt_t)
+                    continue
+                intrinsic = p1
+                if cursor >= end_frame:
+                    break  # event continues into the next compile range
+                b_first = int(math.floor(start_time * fs / Q)) * Q
+                gap_to = min(max(b_first, cursor), end_frame)
+                if gap_to > cursor:
+                    segments.append(_Segment(cursor, gap_to, "const", v0=p1))
+                    cursor = gap_to
+                if cursor >= end_frame:
+                    break
+                active_end = cursor + Q
+                hold_v = p1
+
+            block_time = active_end * dt - Q * dt  # active block's start
             seg_end_time = end_frame * dt
             ended = False
             if len(events) > 1:
@@ -360,11 +481,16 @@ def compile_timeline(
                     seg_end_time = event.cancel_time
                     ended = True
 
-            start_time = event.time
-            v0 = last_event.value
-            v1 = event.value
-            diff = v0 - v1
-            time_constant = event.time_constant
+            if ended and not ramp_next:
+                # a next-event / cancel end only takes effect in the block
+                # containing its time; the snap check runs at each earlier
+                # block boundary and preempts it (param.rs:1380-1410 runs
+                # before the `ended` block is ever reached)
+                snap_tq = _find_target_snap(
+                    diff, v1, start_time, time_constant, active_end,
+                    end_frame, dt)
+                if snap_tq is not None and seg_end_time >= snap_tq:
+                    ended = False
 
             if not ended:
                 # analytic snap-to-target: find first quantum boundary time
@@ -372,7 +498,8 @@ def compile_timeline(
                 # (reference: param.rs:1380-1410). The check runs per block
                 # against next_block_time.
                 snap_block_end = _find_target_snap(
-                    diff, start_time, time_constant, cursor, end_frame, dt)
+                    diff, v1, start_time, time_constant, active_end,
+                    end_frame, dt)
                 if snap_block_end is not None:
                     seg_end_time = snap_block_end
                     # exponential until snap boundary, constant v1 after
@@ -380,31 +507,39 @@ def compile_timeline(
                     if idx > cursor:
                         segments.append(_Segment(
                             cursor, idx, "target", v0=v0, v1=v1, t0=start_time,
-                            time_constant=time_constant, hold_value=intrinsic))
+                            time_constant=time_constant, hold_value=hold_v))
                         cursor = idx
                     intrinsic = v1
                     events[0] = ParamEvent(SET_VALUE_AT_TIME, value=v1, time=seg_end_time)
+                    # the snap exits the reference's block loop; the
+                    # replacement SetValue is handled in the block that
+                    # *starts* at the snap boundary
+                    active_end = max(active_end,
+                                     int(round(seg_end_time * fs)) + Q)
                     continue
                 # runs to the end of this compile range
                 if end_frame > cursor:
                     segments.append(_Segment(
                         cursor, end_frame, "target", v0=v0, v1=v1, t0=start_time,
-                        time_constant=time_constant, hold_value=intrinsic))
+                        time_constant=time_constant, hold_value=hold_v))
                     cursor = end_frame
-                intrinsic = _set_target(end_frame * dt, start_time, time_constant, v1, diff)
+                intrinsic = _set_target_f32(end_frame * dt, start_time,
+                                            time_constant, v1, diff)
                 break
 
             idx = min(max(_round_index(seg_end_time, fs), cursor), end_frame)
             if idx > cursor:
                 segments.append(_Segment(
                     cursor, idx, "target", v0=v0, v1=v1, t0=start_time,
-                    time_constant=time_constant, hold_value=intrinsic))
+                    time_constant=time_constant, hold_value=hold_v))
                 cursor = idx
-            value = _set_target(seg_end_time, start_time, time_constant, v1, diff)
+            value = _set_target_f32(seg_end_time, start_time, time_constant,
+                                    v1, diff)
             intrinsic = value
             last_event = events.pop(0)
             last_event.time = seg_end_time
             last_event.value = value
+            active_end = max(active_end, _pop_block_end(seg_end_time))
             continue
 
         if etype == SET_VALUE_CURVE:
@@ -415,11 +550,53 @@ def compile_timeline(
             end_time = start_time + duration
             if event.cancel_time is not None:
                 end_time = event.cancel_time
+            hold_v = intrinsic
+
+            if walk_start:
+                # is_constant_block skips whole quanta unhandled
+                # (param.rs:1527-1544)
+                b_first = int(math.floor(start_time * fs / Q)) * Q
+                hold_to = min(max(b_first, cursor), end_frame)
+                if hold_to > cursor:
+                    segments.append(_Segment(cursor, hold_to, "const",
+                                             v0=intrinsic))
+                    cursor = hold_to
+                if cursor >= end_frame:
+                    break
+                active_end = cursor + Q
+            walk_start = False
+
+            a_nbt_t = min(active_end, end_frame) * dt
+            if start_time >= a_nbt_t:
+                # back-extrapolated intrinsic pollution at the active block's
+                # boundary, then frozen until the start quantum (the curve
+                # sampler saturates negative positions to segment 0,
+                # param.rs:1466-1491 + 1527-1544)
+                p1 = float(np.float32(_set_value_curve_scalar(
+                    a_nbt_t, start_time, duration, values)))
+                stop = min(active_end, end_frame)
+                if stop > cursor:
+                    segments.append(_Segment(cursor, stop, "const",
+                                             v0=intrinsic))
+                    cursor = stop
+                intrinsic = p1
+                if cursor >= end_frame:
+                    break
+                b_first = int(math.floor(start_time * fs / Q)) * Q
+                gap_to = min(max(b_first, cursor), end_frame)
+                if gap_to > cursor:
+                    segments.append(_Segment(cursor, gap_to, "const", v0=p1))
+                    cursor = gap_to
+                if cursor >= end_frame:
+                    break
+                active_end = cursor + Q
+                hold_v = p1
+
             if end_time >= end_frame * dt:
                 if end_frame > cursor:
                     segments.append(_Segment(
                         cursor, end_frame, "curve", t0=start_time,
-                        duration=duration, values=values, hold_value=intrinsic))
+                        duration=duration, values=values, hold_value=hold_v))
                     cursor = end_frame
                 intrinsic = _set_value_curve_scalar(
                     end_frame * dt, start_time, duration, values)
@@ -428,7 +605,7 @@ def compile_timeline(
             if idx > cursor:
                 segments.append(_Segment(
                     cursor, idx, "curve", t0=start_time, duration=duration,
-                    values=values, hold_value=intrinsic))
+                    values=values, hold_value=hold_v))
                 cursor = idx
             if event.cancel_time is not None:
                 value = _set_value_curve_scalar(end_time, start_time, duration, values)
@@ -438,6 +615,7 @@ def compile_timeline(
             last_event = events.pop(0)
             last_event.time = end_time
             last_event.value = value
+            active_end = max(active_end, _pop_block_end(end_time))
             continue
 
         raise AssertionError(f"unexpected event in timeline: {etype}")
@@ -466,37 +644,31 @@ def _eval_ramp_scalar(etype, t, start_time, duration, v0, v1):
     return np.float32(v0) * np.float32(v1 / v0) ** np.float32(phase)
 
 
-def _find_target_snap(diff, start_time, time_constant, cursor, end_frame, dt):
-    """First next-quantum-boundary time where |v - target| < SNAP, or None.
+def _find_target_snap(diff, v1, start_time, time_constant, first_frame,
+                      end_frame, dt):
+    """First quantum-boundary time tq (scanning the active block's
+    boundary onward) where the
+    f32 value satisfies |v(tq) - v1| < SNAP, or None.
 
     The reference checks |v(next_block_time) - v1| each block and replaces
-    the event with SetValueAtTime(next_block_time, v1) when below threshold
-    (reference: param.rs:1380-1410)."""
-    adiff = abs(diff)
-    if adiff == 0.0:
-        # immediately snaps at the first block boundary after cursor
-        first_block = cursor // RENDER_QUANTUM_SIZE + 1
-        t = first_block * RENDER_QUANTUM_SIZE * dt
-        if first_block * RENDER_QUANTUM_SIZE <= end_frame:
-            return t
+    the event with SetValueAtTime(next_block_time, v1) below threshold
+    (param.rs:1380-1410).  The check runs on *f32* FMA results, so it
+    usually fires as soon as |diff * exp| drops below ~ulp(v1)/2 — far
+    sooner than the nominal 1e-10 threshold — which must be mirrored
+    exactly because snapping changes downstream event timing."""
+    Q = RENDER_QUANTUM_SIZE
+    if first_frame > end_frame:
         return None
-    # |diff| * exp(-(t - t0)/tau) < SNAP  =>  t > t0 + tau * ln(|diff|/SNAP)
-    t_star = start_time + time_constant * math.log(adiff / SNAP_TO_TARGET)
-    # first quantum boundary with boundary_time > t_star, and the boundary
-    # must be one the per-block loop actually evaluates (strictly after the
-    # block containing `cursor` starts; next_block_time of that block)
-    min_block = cursor // RENDER_QUANTUM_SIZE + 1
-    blk = max(min_block, math.floor(t_star / (RENDER_QUANTUM_SIZE * dt)) + 1)
-    # guard: ensure strictly below threshold at the chosen boundary
-    while True:
-        t = blk * RENDER_QUANTUM_SIZE * dt
-        if abs(diff) * math.exp(-(t - start_time) / time_constant) < SNAP_TO_TARGET:
-            break
-        blk += 1
-    if blk * RENDER_QUANTUM_SIZE > end_frame:
+    bounds = np.arange(first_frame, end_frame + 1, Q, dtype=np.int64)
+    t = bounds.astype(np.float64) * dt
+    e32 = np.exp(-(t - start_time) / time_constant).astype(np.float32)
+    d32 = np.float64(np.float32(diff))
+    v32 = np.float64(np.float32(v1))
+    vals = (d32 * e32.astype(np.float64) + v32).astype(np.float32)  # f32 FMA
+    hit = np.abs(np.float32(v1) - vals) < np.float32(SNAP_TO_TARGET)
+    if not hit.any():
         return None
-    return blk * RENDER_QUANTUM_SIZE * dt
-
+    return float(t[int(np.argmax(hit))])
 
 def _evaluate_segments(segments, start_frame, length, dt):
     out = np.empty(length, dtype=np.float32)
