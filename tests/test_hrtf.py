@@ -62,3 +62,33 @@ def test_hrtf_nonzero_and_finite_at_other_rate():
     out = _render_hrtf(0.0, -3.0, fs=48000.0)
     assert np.isfinite(out).all()
     assert np.abs(out).max() > 0.0
+
+
+def test_hrtf_crossfade_smooths_motion():
+    """The hrtf crate crossfades prev->new HRIR within each quantum and
+    lerps the distance gain (panner.rs:215-271): an orbiting source must
+    not click at quantum boundaries, and the first block fades in from
+    silence (initial prev gain is 0)."""
+    import numpy as np
+    from webaudio_tpu import OfflineAudioContext
+
+    fs = 48000.0
+    ctx = OfflineAudioContext(2, 4096, fs)
+    o = ctx.create_oscillator(frequency=330.0)
+    p = ctx.create_panner(panning_model="HRTF")
+    for ti in np.arange(0, 4096 / fs, 128 / fs):
+        ang = 2 * np.pi * ti * 20  # 20 rev/s
+        p.position_x.set_value_at_time(float(np.sin(ang) * 2), float(ti))
+        p.position_z.set_value_at_time(float(np.cos(ang) * 2), float(ti))
+    o.connect(p)
+    p.connect(ctx.destination)
+    o.start()
+    out = ctx.start_rendering_sync().to_array()
+
+    assert out[0, 0] == 0.0  # fade-in from the crate's initial gain 0
+    d = np.abs(np.diff(out[0]))
+    boundary = d[127::128]
+    within = np.delete(d, np.arange(127, len(d), 128))
+    # without the crossfade the boundary jumps are ~5x the within-quantum
+    # ones; with it they sit at parity
+    assert boundary.max() < 2.0 * within.max()

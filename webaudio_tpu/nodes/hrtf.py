@@ -147,6 +147,14 @@ class HrtfPannerKernel(Kernel):
         return {
             "xspec": jnp.zeros((self.K - 1, P + 1), jnp.complex64),
             "tail": jnp.zeros((P,), jnp.float32),
+            # previous quantum's interpolated HRIR spectrum + distance gain
+            # for the per-quantum crossfade (the hrtf crate carries
+            # prev_sample_vector / prev_distance_gain; panner.rs:215-271).
+            # `started` gates the very first quantum onto the crate's
+            # initial state: front direction (0,0,1), gain 0 (fade-in).
+            "h_prev": jnp.zeros((2, self.K, P + 1), jnp.complex64),
+            "g_prev": jnp.zeros((), jnp.float32),
+            "started": jnp.zeros((), jnp.bool_),
         }
 
     def process(self, scope, state, inputs, params):
@@ -192,12 +200,26 @@ class HrtfPannerKernel(Kernel):
         vspec = spectra[vids]                        # (nq, 3, 2, K, P+1)
         h = jnp.einsum("qv,qvekf->qekf", w.astype(jnp.complex64), vspec)
 
+        # previous-direction spectra, shifted one quantum (the hrtf crate
+        # crossfades prev->new HRIR within each block; the very first block
+        # fades from the front direction at gain 0, panner.rs:226-241)
+        front_vids = scope.node_resources["grid_vids"][
+            self.az_bins // 2, self.el_bins // 2]
+        front_w = scope.node_resources["grid_w"][
+            self.az_bins // 2, self.el_bins // 2]
+        h_front = jnp.einsum("v,vekf->ekf", front_w.astype(jnp.complex64),
+                             spectra[front_vids])
+        h_carry = jnp.where(state["started"], state["h_prev"], h_front)
+        h_prev = jnp.concatenate([h_carry[None], h[:-1]], axis=0)
+        g_carry = jnp.where(state["started"], state["g_prev"],
+                            jnp.float32(0.0))
+        g_prev = jnp.concatenate([g_carry[None], gain[:-1]])
+
         # mono downmix (x2 gain correction for stereo, panner.rs:835-845)
         if self.in_channels >= 2:
             mono = (x[0] + x[1])  # 0.5 downmix * 2.0 correction
         else:
             mono = x[0]
-        mono = mono * jnp.repeat(gain, P)
 
         # per-quantum frequency-domain delay line (overlap-save)
         ext = jnp.concatenate([state["tail"], mono])
@@ -207,13 +229,24 @@ class HrtfPannerKernel(Kernel):
         jj = jnp.arange(nq)[:, None]
         kk = jnp.arange(self.K)[None, :]
         win = Xfull[jj + (self.K - 1) - kk]          # (nq, K, P+1)
-        Y = jnp.einsum("qkf,qekf->qef", win, h)      # (nq, 2, P+1)
-        y = jnp.fft.irfft(Y, n=2 * P, axis=-1)[..., P:]  # (nq, 2, P)
+        Yn = jnp.einsum("qkf,qekf->qef", win, h)     # (nq, 2, P+1)
+        Yp = jnp.einsum("qkf,qekf->qef", win, h_prev)
+        yn = jnp.fft.irfft(Yn, n=2 * P, axis=-1)[..., P:]  # (nq, 2, P)
+        yp = jnp.fft.irfft(Yp, n=2 * P, axis=-1)[..., P:]
+        # linear crossfade prev->new across the block, and lerped distance
+        # gain applied to the convolved output (hrtf crate semantics)
+        kfade = jnp.arange(P, dtype=jnp.float32) / P             # (P,)
+        y = yp * (1.0 - kfade) + yn * kfade
+        gmat = g_prev[:, None] + (gain - g_prev)[:, None] * kfade[None]
+        y = y * gmat[:, None, :]
         out = jnp.transpose(y, (1, 0, 2)).reshape(2, B)
 
         new_state = {
             "xspec": Xfull[Xfull.shape[0] - (self.K - 1):]
             if self.K > 1 else state["xspec"],
             "tail": ext[B:],
+            "h_prev": h[-1],
+            "g_prev": gain[-1],
+            "started": jnp.ones((), jnp.bool_),
         }
         return new_state, [out.astype(jnp.float32)]
