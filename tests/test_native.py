@@ -50,3 +50,92 @@ def test_decode_samples_via_native():
     buf = decode_audio_data("/root/reference/samples/sample.wav")
     assert buf.number_of_channels == 2
     assert buf.length == 142187
+
+
+def test_flac_decode_all_subframe_types():
+    """Native FLAC decoder vs the spec-reference test encoder
+    (tests/flac_ref.py): lossless round-trip across constant / verbatim /
+    fixed(0-4) / LPC subframes, rice + rice2 + escape partitions, wasted
+    bits, and all stereo decorrelation modes (wahost.cpp wah_flac_decode;
+    reference decodes FLAC via symphonia, src/decoding.rs)."""
+    import numpy as np
+    from webaudio_tpu.native import flac_decode_native
+    from flac_ref import encode_flac
+
+    rng = np.random.RandomState(7)
+
+    # mono 16-bit: every subframe kind + partition/escape variants
+    total = 256 * 5 + 250
+    s = rng.randint(-2000, 2000, total).astype(np.int64)
+    s[256:512] = 123                      # constant block
+    s[1024:1280] = (s[1024:1280] // 8) * 8  # wasted-bits block
+    mono = s[None]
+    plans = [
+        (256, "independent", [dict(kind="verbatim")]),
+        (256, "independent", [dict(kind="constant")]),
+        (256, "independent", [dict(kind="fixed", order=0, porder=1, ks=[12])]),
+        (256, "independent", [dict(kind="fixed", order=2, porder=2,
+                                   ks=[3, 9, "escape:18", 5])]),
+        (256, "independent", [dict(kind="fixed", order=4, wasted=3,
+                                   ks=[11], method=1)]),
+        (250, "independent", [dict(kind="lpc", order=8,
+                                   coefs=[500, -200, 80, 60, -40, 20, 10, -5],
+                                   prec=12, shift=9, porder=0, ks=[13])]),
+    ]
+    data = encode_flac(mono, 44100, 16, plans)
+    out, rate = flac_decode_native(data)
+    assert rate == 44100.0 and out.shape == (1, total)
+    np.testing.assert_array_equal(
+        out[0], (mono[0] / 2.0 ** 15).astype(np.float32))
+
+    # stereo 16-bit: all decorrelation modes + independent
+    total = 1024
+    st = rng.randint(-3000, 3000, (2, total)).astype(np.int64)
+    plans = [
+        (256, "left_side", [dict(kind="verbatim"), dict(kind="fixed", order=1, ks=[6])]),
+        (256, "right_side", [dict(kind="fixed", order=3, ks=[7]), dict(kind="verbatim")]),
+        (256, "mid_side", [dict(kind="lpc", order=2, coefs=[900, -300],
+                                prec=11, shift=9, ks=[8], method=1),
+                           dict(kind="fixed", order=2, porder=1, ks=[6])]),
+        (256, "independent", [dict(kind="verbatim"), dict(kind="verbatim")]),
+    ]
+    data = encode_flac(st, 48000, 16, plans)
+    out, rate = flac_decode_native(data)
+    assert rate == 48000.0 and out.shape == (2, total)
+    np.testing.assert_array_equal(out, (st / 2.0 ** 15).astype(np.float32))
+
+    # 24-bit mono
+    total = 512
+    s24 = rng.randint(-(1 << 22), 1 << 22, total).astype(np.int64)
+    plans = [(512, "independent", [dict(kind="fixed", order=2, porder=2, ks=[14])])]
+    data = encode_flac(s24[None], 96000, 24, plans)
+    out, rate = flac_decode_native(data)
+    assert rate == 96000.0
+    np.testing.assert_array_equal(
+        out[0], (s24 / 2.0 ** 23).astype(np.float32))
+
+
+def test_flac_through_decode_audio_data():
+    """FLAC routes through the public decodeAudioData path into an
+    AudioBuffer and is playable through a graph."""
+    import numpy as np
+    from webaudio_tpu.media.decoding import decode_audio_data
+    from flac_ref import encode_flac
+
+    t = np.arange(1024)
+    sig = (np.sin(t * 0.05) * 10000).astype(np.int64)
+    data = encode_flac(sig[None], 22050, 16,
+                       [(1024, "independent",
+                         [dict(kind="fixed", order=2, ks=[9])])])
+    buf = decode_audio_data(data)
+    assert buf.sample_rate == 22050.0 and buf.length == 1024
+    np.testing.assert_array_equal(
+        buf.get_channel_data(0), (sig / 2.0 ** 15).astype(np.float32))
+
+
+def test_flac_corrupt_stream_rejected():
+    import pytest
+    from webaudio_tpu.media.decoding import decode_audio_data
+    from webaudio_tpu.constants import NotSupportedError
+    with pytest.raises(NotSupportedError):
+        decode_audio_data(b"fLaC" + b"\x00" * 64)

@@ -1,8 +1,9 @@
 """Host-side media decoding -> AudioBuffer.
 
 reference: src/decoding.rs (symphonia probe over wav/mp3/ogg/flac/aac/...).
-This build decodes WAV and AIFF natively (numpy, plus the optional C++
-wahost fast path); compressed codecs probe by magic and raise
+This build decodes WAV and AIFF (numpy, plus the optional C++ wahost
+fast path) and FLAC (native wahost decoder, wahost.cpp:wah_flac_decode);
+the remaining compressed codecs probe by magic and raise
 NotSupportedError with a clear message (codec libraries are not available
 in this environment — the architecture keeps decode host-side feeding
 device buffers either way, per SURVEY.md §2.1).
@@ -56,12 +57,23 @@ def decode_audio_data(source) -> AudioBuffer:
         if arr.shape[1] == 0:
             raise NotSupportedError("WAV stream contains no audio frames")
         return AudioBuffer.from_array(arr, rate)
+    if kind == "flac":
+        from ..native import flac_decode_native
+        res = flac_decode_native(data)
+        if res is None:
+            raise NotSupportedError(
+                "FLAC decode failed (corrupt stream or native wahost "
+                "library unavailable)")
+        arr, rate = res
+        if arr.shape[1] == 0:
+            raise NotSupportedError("FLAC stream contains no audio frames")
+        return AudioBuffer.from_array(arr, rate)
     if kind == "aiff":
         arr, rate = _read_aiff(data)
         return AudioBuffer.from_array(arr, rate)
     raise NotSupportedError(
         f"decoding '{kind}' streams requires a codec library not present in "
-        f"this build; supported: WAV (PCM/float), AIFF")
+        f"this build; supported: WAV (PCM/float), AIFF, FLAC")
 
 
 def _read_aiff(data: bytes) -> tuple[np.ndarray, float]:

@@ -62,6 +62,15 @@ def get_lib():
             f32p, ctypes.c_uint32, ctypes.c_uint64, f32p, ctypes.c_uint64,
             ctypes.c_double]
         lib.wah_resample_linear.restype = None
+        if hasattr(lib, "wah_flac_probe"):
+            lib.wah_flac_probe.argtypes = [
+                u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.wah_flac_probe.restype = ctypes.c_int
+            lib.wah_flac_decode.argtypes = [u8p, ctypes.c_uint64, f32p,
+                                            ctypes.c_uint64]
+            lib.wah_flac_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -100,3 +109,33 @@ def resample_linear_native(data: np.ndarray, ratio: float,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_frames, ratio)
     return out
+
+
+def flac_decode_native(data: bytes):
+    """-> ((channels, frames) f32, sample_rate) or None if unsupported.
+
+    Native FLAC decode (wahost.cpp wah_flac_decode); the TPU-native analog
+    of the reference's symphonia FLAC path (src/decoding.rs)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wah_flac_probe"):
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    ch = ctypes.c_uint32()
+    rate = ctypes.c_uint32()
+    total = ctypes.c_uint64()
+    if lib.wah_flac_probe(buf, len(data), ctypes.byref(ch),
+                          ctypes.byref(rate), ctypes.byref(total)) != 0:
+        return None
+    cap = total.value
+    if cap == 0:
+        # unknown length: bound by the worst-case bits-per-sample ratio
+        cap = max(len(data) * 4, 65536)
+    out = np.zeros((ch.value, cap), np.float32)
+    n = lib.wah_flac_decode(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap)
+    if n < 0:
+        return None
+    if total.value and n != total.value:
+        return None  # truncated / corrupt stream
+    return out[:, :n].copy() if n != cap else out, float(rate.value)
