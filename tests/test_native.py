@@ -139,3 +139,91 @@ def test_flac_corrupt_stream_rejected():
     from webaudio_tpu.constants import NotSupportedError
     with pytest.raises(NotSupportedError):
         decode_audio_data(b"fLaC" + b"\x00" * 64)
+
+
+def test_wav_g711_mulaw_alaw():
+    """G.711 u-law / A-law WAV decode vs independent scalar expanders."""
+    import struct
+    import numpy as np
+    from webaudio_tpu.media.wav import read_wav
+
+    def mulaw_ref(byte):
+        u = ~byte & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0xF
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        return -mag if sign else mag
+
+    def alaw_ref(byte):
+        a = byte ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 7, a & 0xF
+        mag = ((mant << 4) + 0x108) << (exp - 1) if exp else (mant << 4) + 8
+        return -mag if sign else mag
+
+    def wav_bytes(fmt_tag, payload, ch=1):
+        fmt = struct.pack("<HHIIHH", fmt_tag, ch, 8000, 8000 * ch, ch, 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    payload = bytes(range(256))
+    out, rate = read_wav(wav_bytes(7, payload))
+    exp = np.array([mulaw_ref(b) for b in payload], np.float32) / 32768.0
+    np.testing.assert_array_equal(out[0], exp)
+    out, rate = read_wav(wav_bytes(6, payload))
+    exp = np.array([alaw_ref(b) for b in payload], np.float32) / 32768.0
+    np.testing.assert_array_equal(out[0], exp)
+    assert rate == 8000.0
+
+
+def test_wav_ima_adpcm():
+    """IMA ADPCM WAV decode (vectorized) vs an independent scalar decoder,
+    stereo, random nibbles."""
+    import struct
+    import numpy as np
+    from webaudio_tpu.media.wav import read_wav, _IMA_STEPS, _IMA_INDEX
+
+    rng = np.random.RandomState(3)
+    ch, block_align, nblocks = 2, 256, 5
+    payload = rng.randint(0, 256, nblocks * block_align).astype(np.uint8)
+    # sanitize headers: clamp step index into range
+    for b in range(nblocks):
+        for c in range(ch):
+            payload[b * block_align + 4 * c + 2] %= 89
+    payload = payload.tobytes()
+
+    fmt = struct.pack("<HHIIHHH", 0x11, ch, 8000, 8000, block_align, 4, 0)
+    data = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    out, rate = read_wav(data)
+
+    # scalar reference
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    ref = np.zeros((ch, nblocks * spb), np.float32)
+    for b in range(nblocks):
+        blk = payload[b * block_align:(b + 1) * block_align]
+        preds, idxs, nibs = [], [], [[] for _ in range(ch)]
+        for c in range(ch):
+            p = int.from_bytes(blk[4 * c:4 * c + 2], "little", signed=True)
+            preds.append(p)
+            idxs.append(blk[4 * c + 2])
+        body = blk[4 * ch:]
+        for g in range(len(body) // (4 * ch)):
+            for c in range(ch):
+                for byte in body[(g * ch + c) * 4:(g * ch + c) * 4 + 4]:
+                    nibs[c] += [byte & 0xF, byte >> 4]
+        for c in range(ch):
+            pred, index = preds[c], idxs[c]
+            ref[c, b * spb] = pred / 32768.0
+            for t, n in enumerate(nibs[c]):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if n & 1: diff += step >> 2
+                if n & 2: diff += step >> 1
+                if n & 4: diff += step
+                pred = pred - diff if n & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+                ref[c, b * spb + t + 1] = pred / 32768.0
+    assert out.shape == ref.shape and rate == 8000.0
+    np.testing.assert_array_equal(out, ref)

@@ -87,11 +87,94 @@ def read_wav(source) -> tuple[np.ndarray, float]:
             x = np.frombuffer(payload, dtype="<f8").astype(np.float32)
         else:
             raise NotSupportedError(f"unsupported float bit depth {bits}")
+    elif audio_format == 6:  # G.711 A-law
+        x = _ALAW_TABLE[np.frombuffer(payload, dtype=np.uint8)]
+    elif audio_format == 7:  # G.711 mu-law
+        x = _MULAW_TABLE[np.frombuffer(payload, dtype=np.uint8)]
+    elif audio_format == 0x11:  # IMA / DVI ADPCM
+        out = _decode_ima_adpcm(payload, channels, block_align)
+        return out, float(sample_rate)
     else:
         raise NotSupportedError(f"unsupported WAV format tag {audio_format}")
 
     x = x.reshape(-1, channels).T.copy()  # (channels, frames)
     return x, float(sample_rate)
+
+
+def _build_g711_tables():
+    """G.711 expansion tables (symphonia-adpcm/pcm decode these formats via
+    the reference's `all` feature set, Cargo.toml:63-66)."""
+    b = np.arange(256, dtype=np.uint32)
+    # mu-law
+    u = (~b) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    mu = np.where(sign, -mag.astype(np.int32), mag.astype(np.int32))
+    # A-law
+    a = b ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp > 0, ((mant << 4) + 0x108) << np.maximum(exp, 1) - 1,
+                   (mant << 4) + 8)
+    al = np.where(sign, -mag.astype(np.int32), mag.astype(np.int32))
+    return (mu.astype(np.float32) / 32768.0), (al.astype(np.float32) / 32768.0)
+
+
+_MULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _decode_ima_adpcm(payload: bytes, channels: int,
+                      block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11): 4-byte per-channel block headers
+    (i16 predictor, u8 step index), then nibbles in per-channel 4-byte
+    groups.  Decoded vectorized across blocks x channels (the nibble
+    recurrence is serial only within a block)."""
+    nblocks = len(payload) // block_align
+    raw = np.frombuffer(payload, np.uint8)[:nblocks * block_align]
+    raw = raw.reshape(nblocks, block_align)
+    hdr = raw[:, :4 * channels].reshape(nblocks, channels, 4)
+    pred = (hdr[:, :, 0].astype(np.int32)
+            | (hdr[:, :, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 1 << 15, pred - (1 << 16), pred)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+
+    body = raw[:, 4 * channels:]
+    groups = body.reshape(nblocks, -1, channels, 4)  # per-channel 4-byte runs
+    lo = groups & 0xF
+    hi = groups >> 4
+    nib = np.stack([lo, hi], axis=-1).reshape(nblocks, groups.shape[1],
+                                              channels, 8)
+    # (nblocks, channels, samples_per_block-1)
+    nib = np.transpose(nib, (0, 2, 1, 3)).reshape(nblocks, channels, -1)
+    spb = nib.shape[2] + 1
+
+    out = np.empty((nblocks, channels, spb), np.float32)
+    out[:, :, 0] = pred / 32768.0
+    for t in range(spb - 1):
+        n = nib[:, :, t].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
+        out[:, :, t + 1] = pred / 32768.0
+    return np.transpose(out, (1, 0, 2)).reshape(channels, -1).copy()
 
 
 def write_wav(path_or_file, data: np.ndarray, sample_rate: float,
