@@ -1,0 +1,187 @@
+"""Automatic source-chain fusion (graph/fusion.py): fused output must match
+the unfused graph bit-near-exactly across subframe variants, and the
+surrounding machinery (GraphBatch param override, checkpoints) must keep
+working on fused topologies."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _build(n_osc=48, seconds=0.25, dense_freq=False, typ="sawtooth",
+           chain=True, fs=48000.0):
+    from webaudio_tpu import OfflineAudioContext
+
+    ctx = OfflineAudioContext(2, int(fs * seconds), fs)
+    rng = np.random.RandomState(42)
+    mix = ctx.create_gain(gain=1.0 / n_osc)
+    mix.connect(ctx.destination)
+    for i in range(n_osc):
+        o = ctx.create_oscillator(type=typ,
+                                  frequency=float(80 + rng.rand() * 2000),
+                                  detune=float(rng.randn() * 15))
+        if dense_freq and i % 3 == 0:
+            o.frequency.linear_ramp_to_value_at_time(float(200 + i), 0.2)
+        t0 = float(rng.rand() * 0.1)
+        if chain:
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.0, t0)
+            env.gain.linear_ramp_to_value_at_time(1.0, t0 + 0.02)
+            env.gain.set_target_at_time(0.6, t0 + 0.02, 0.05)
+            o.connect(env)
+            env.connect(mix)
+        else:
+            o.connect(mix)
+        o.start(t0)
+        if i % 7 == 0:
+            o.stop(t0 + 0.15)
+    return ctx
+
+
+def _render(threshold, **kwargs):
+    old = os.environ.get("WEBAUDIO_FUSE_THRESHOLD")
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = str(threshold)
+    try:
+        return _build(**kwargs).start_rendering_sync().to_array()
+    finally:
+        if old is None:
+            os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+        else:
+            os.environ["WEBAUDIO_FUSE_THRESHOLD"] = old
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),                                   # const-freq chains (closed form)
+    dict(dense_freq=True),                    # automated freqs (cumsum path)
+    dict(typ="square", chain=False),          # plain bank, no gain stage
+    dict(typ="sine"),
+])
+def test_fused_matches_unfused(kwargs):
+    ref = _render(0, **kwargs)
+    fused = _render(8, **kwargs)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+def test_fusion_actually_fuses():
+    from webaudio_tpu.graph import compiler as C
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        ctx = _build(n_osc=24)
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    # dest + mix + one fused bank
+    assert len(cg.kernels) == 3
+    assert any(nid < 0 for nid in cg.kernels)
+    assert len(cg.param_alias) == 24 * 3
+
+
+def test_graph_batch_override_param_through_fusion():
+    """override_param on a fused-away envelope gain remaps to the fused
+    node's packed row via cg.param_alias."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.parallel.batch import GraphBatch
+
+    fs = 48000.0
+    n = 2048
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        ctx = OfflineAudioContext(1, n, fs)
+        mix = ctx.create_gain(gain=1.0)
+        mix.connect(ctx.destination)
+        envs = []
+        for i in range(8):
+            o = ctx.create_oscillator(frequency=440.0)
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.001 * (i + 1), 0.0)
+            env.gain.linear_ramp_to_value_at_time(0.001 * (i + 1), 1.0)  # dense
+            o.connect(env)
+            env.connect(mix)
+            o.start()
+            envs.append(env)
+        batch = 3
+        gb = GraphBatch(ctx, batch=batch)
+        # instance b mutes everything except env 0, with gain b+1
+        for b in range(batch):
+            pass
+        dense = np.zeros((batch, n), np.float32)
+        for b in range(batch):
+            dense[b] = float(b + 1)
+        gb.override_param(envs[0], "gain", dense)
+        for env in envs[1:]:
+            gb.override_param(env, "gain",
+                              np.zeros((batch, n), np.float32))
+        out = np.asarray(gb.render())[:, :, :n]
+        # each instance = sine * (b+1); ratios between instances exact
+        ref = out[0]
+        for b in range(1, batch):
+            np.testing.assert_allclose(out[b], ref * (b + 1), atol=1e-5)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_checkpoint_with_fused_graph():
+    from webaudio_tpu.checkpoint import RenderSession
+    import tempfile
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        seconds = 12288 / 48000.0  # 24 x 512-frame blocks exactly
+        one = _build(n_osc=16, seconds=seconds).start_rendering_sync().to_array()
+        sess = RenderSession(_build(n_osc=16, seconds=seconds),
+                             quanta_per_block=4)
+        a = np.asarray(sess.step(6144))
+        with tempfile.TemporaryDirectory() as td:
+            sess.save(td + "/ck.npz")
+            sess2 = RenderSession(_build(n_osc=16, seconds=seconds),
+                                  quanta_per_block=4)
+            sess2.restore(td + "/ck.npz")
+            b = np.asarray(sess2.step(6144))
+        got = np.concatenate([a, b], axis=-1)
+        scale = max(float(np.abs(one).max()), 1e-9)
+        np.testing.assert_allclose(got, one, atol=2e-5 * scale)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_online_context_with_fused_graph():
+    """Live AudioContext streaming with a fused bank: per-chunk dense rows
+    come from cg.param_objects (fused aliases are not in ctx._nodes)."""
+    import time
+    from webaudio_tpu import AudioContext
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        captured = []
+        ctx = AudioContext(sample_rate=48000.0,
+                           sink_id=lambda chunk, ts: captured.append(
+                               np.asarray(chunk)))
+        ctx.set_realtime_pacing(False)
+        mix = ctx.create_gain(gain=1.0 / 8)
+        mix.connect(ctx.destination)
+        for i in range(8):
+            o = ctx.create_oscillator(frequency=220.0 * (i + 1) / 4)
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(1.0, 0.0)
+            env.gain.linear_ramp_to_value_at_time(0.5, 2.0)  # dense row
+            o.connect(env)
+            env.connect(mix)
+            o.start()
+        deadline = time.time() + 20.0
+        while sum(c.shape[-1] for c in captured) < 24000 and \
+                time.time() < deadline:
+            time.sleep(0.05)
+        ctx.close_sync()
+        out = np.concatenate(captured, axis=-1)
+        assert out.shape[-1] >= 24000
+        # envelopes are live: audible, not silent (the silent-zero failure
+        # mode this guards against), amplitude in a sane range
+        rms = float(np.sqrt((out[..., 2048:24000] ** 2).mean()))
+        assert 0.1 < rms < 1.5, rms
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)

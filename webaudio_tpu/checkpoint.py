@@ -96,8 +96,8 @@ class RenderSession:
         self._resources = None
 
     def _template_states(self):
-        return {self._C._k(nid): self._cg.kernels[nid].init_state()
-                for nid in self._context._nodes}
+        return {self._C._k(nid): k.init_state()
+                for nid, k in self._cg.kernels.items()}
 
     def step(self, frames: int) -> np.ndarray:
         """Render the next `frames` frames (a multiple of the session block
@@ -115,7 +115,7 @@ class RenderSession:
 
         rows = np.zeros((len(cg.dense_params), frames), np.float32)
         for i, (nid, pname) in enumerate(cg.dense_params):
-            plan = ctx._nodes[nid].params[pname].compile_for_render(
+            plan = cg.param_objects[(nid, pname)].compile_for_render(
                 ctx.sample_rate, frames, self._frame, force_dense=True)
             rows[i] = plan.dense
         xs = jnp.asarray(rows.reshape(-1, nb, B).transpose(1, 0, 2))

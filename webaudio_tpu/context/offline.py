@@ -163,8 +163,8 @@ class OfflineAudioContext(BaseAudioContext):
     def _merge_states(self, states, cg):
         """Carry states across re-traces: keep state for surviving nodes,
         init fresh ones."""
-        init = {_compiler._k(nid): cg.kernels[nid].init_state()
-                for nid in self._nodes}
+        init = {_compiler._k(nid): k.init_state()
+                for nid, k in cg.kernels.items()}
         if states is None:
             return init
         merged = {}

@@ -216,8 +216,8 @@ class AudioContext(BaseAudioContext):
             # params stream in per chunk from the live timelines; baking a
             # "constant" would go stale as the timeline advances
             force_dense_params=True)
-        init = {_compiler._k(nid): cg.kernels[nid].init_state()
-                for nid in nodes}
+        init = {_compiler._k(nid): k.init_state()
+                for nid, k in cg.kernels.items()}
         if self._states is not None:
             merged = {}
             for k, v in init.items():
@@ -247,10 +247,10 @@ class AudioContext(BaseAudioContext):
             # the compiled row order (cg.dense_params)
             rows = np.zeros((len(cg.dense_params), B), np.float32)
             for i, (nid, pname) in enumerate(cg.dense_params):
-                node = nodes_snapshot.get(nid)
-                if node is None or pname not in node.params:
+                p = cg.param_objects.get((nid, pname))
+                if p is None:
                     continue
-                rows[i] = node.params[pname].advance_dense(
+                rows[i] = p.advance_dense(
                     self.sample_rate, B, self._frame)
             xs = jnp.asarray(rows[None])  # (nb=1, P, B)
 

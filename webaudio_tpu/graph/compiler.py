@@ -143,6 +143,8 @@ class CompiledGraph:
     resource_cache: Any = None
     failed: dict = field(default_factory=dict)
     dense_params: list = field(default_factory=list)  # packed xs row order
+    param_alias: dict = field(default_factory=dict)   # fused (nid,p) remaps
+    param_objects: dict = field(default_factory=dict)  # (nid,p) -> AudioParam
 
 
 def _propagate_channel_counts(nodes, edges):
@@ -185,6 +187,11 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
                   force_dense_params: bool = False) -> CompiledGraph:
     """Trace a graph snapshot into a block function + scan driver."""
     from ..nodes.delay import DelayNode  # local import to avoid cycle
+    from . import fusion as _fusion
+
+    # rewrite homogeneous source chains into (V, B) fused banks before
+    # anything looks at the topology (see graph/fusion.py)
+    nodes, edges, param_alias = _fusion.fuse_sources(nodes, edges, dest_id)
 
     node_ids = list(nodes.keys())
     delay_ids = {nid for nid, n in nodes.items() if isinstance(n, DelayNode)}
@@ -213,7 +220,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         # blocks mean fewer scan steps (a 10 s render in ONE step measures
         # ~20% faster than 30 steps on TPU v5e); the cap bounds live
         # intermediate (channels x B) buffers to ~128 MB across the graph.
-        budget_frames = (1 << 25) // max(len(nodes), 1)
+        weight = sum(getattr(n, "compile_weight", 1) for n in nodes.values())
+        budget_frames = (1 << 25) // max(weight, 1)
         max_qpb = max(DEFAULT_QUANTA_PER_BLOCK,
                       budget_frames // RENDER_QUANTUM_SIZE)
         qpb = 1
@@ -237,8 +245,10 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
 
     # compile every param timeline over the render range
     param_plan = {}
+    param_objects = {}
     for nid, node in nodes.items():
         for pname, p in node.params.items():
+            param_objects[(nid, pname)] = p
             param_plan[(nid, pname)] = p.compile_for_render(
                 sample_rate, _pad_len(total_frames, block_frames), start_frame,
                 force_dense=force_dense_params)
@@ -314,6 +324,26 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             return ins
 
         def gather_params(nid, node):
+            kern = kernels[nid]
+            vp = getattr(kern, "vector_params", None)
+            if vp is not None:
+                # fused kernels consume whole packed-row groups: one static
+                # slice per group instead of per-alias gathers (group rows
+                # are contiguous by construction — the fused node registers
+                # its aliases grouped by param kind)
+                out = {}
+                for gname, aliases in vp().items():
+                    rows = [dense_index[(nid, a)] for a in aliases
+                            if (nid, a) in dense_index]
+                    if not rows:
+                        out[gname] = None
+                        continue
+                    r0 = rows[0]
+                    if rows != list(range(r0, r0 + len(rows))):
+                        raise AssertionError(
+                            "fused param rows not contiguous")
+                    out[gname] = xs_params[r0:r0 + len(rows)]
+                return out
             out = {}
             items = [(pname, nid, node, pname) for pname in node.params]
             for alias, (src_nid, src_pname) in foreign.get(nid, {}).items():
@@ -388,7 +418,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         block_frames=block_frames, sample_rate=sample_rate,
         n_dest_channels=n_dest_channels, muted=ordered.muted,
         cycle_breakers=ordered.cycle_breakers, failed=failed,
-        dense_params=dense_params)
+        dense_params=dense_params, param_alias=param_alias,
+        param_objects=param_objects)
 
     def scan_render(init_states, frame0s, xs_params, resources):
         def step(states, xs):
@@ -470,7 +501,7 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     frame0s = jnp.asarray(start_frame + np.arange(nb, dtype=np.int32) * B)
 
     if init_states is None:
-        init_states = {_k(nid): cg.kernels[nid].init_state() for nid in nodes}
+        init_states = {_k(nid): k.init_state() for nid, k in cg.kernels.items()}
 
     if cg.resource_cache is None:
         cg.resource_cache = jax.tree_util.tree_map(

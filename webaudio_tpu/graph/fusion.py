@@ -1,0 +1,354 @@
+"""Automatic fusion of homogeneous oscillator(+gain) chains.
+
+The reference renders each node as a separate processor on its audio
+thread (graph.rs per-node `process` calls); a literal translation makes a
+500-oscillator additive-synth graph trace to ~20k HLO ops — XLA compile
+time is bound by graph size, and per-node (1, B) work leaves the VPU
+idle.  This pass rewrites groups of identical-topology source chains
+
+    osc_i -> gain_i -> common targets        (envelope chains)
+    osc_i -> common targets                  (plain banks)
+
+into ONE fused node computing all V voices as (V, B) tensors — phases in
+closed form when frequencies are constant, a vmapped f64-carry cumsum
+otherwise — and pre-summing into the shared mix targets (sum_inputs is
+additive, so summing V mono signals before the edge is exactly the
+per-edge sum the unfused graph computes).
+
+Semantics per voice are unchanged: sub-sample start phase correction,
+start/stop masks, nyquist muting, per-voice AudioParam automation
+(frequency / detune / gain timelines compile to packed dense rows exactly
+as before — the fused kernel slices its group's contiguous rows in one
+op instead of gathering 3V separate tensors).
+
+Fusion is topology-deterministic (fused ids derive from member ids), so
+suspend/resume re-traces and checkpoints keep matching state keys.
+Disable or tune with WEBAUDIO_FUSE_THRESHOLD (<=0 disables; default 32).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import RENDER_QUANTUM_SIZE
+from .ir import Edge
+
+
+def fuse_threshold() -> int:
+    try:
+        return int(os.environ.get("WEBAUDIO_FUSE_THRESHOLD", "32"))
+    except ValueError:
+        return 32
+
+
+def fuse_sources(nodes: dict, edges: list, dest_id: int):
+    """-> (nodes', edges', param_alias) where param_alias maps each fused
+    member's (node_id, param_name) to its (fused_id, alias) row key."""
+    threshold = fuse_threshold()
+    if threshold <= 0 or len(nodes) < threshold:
+        return nodes, edges, {}
+
+    from ..nodes.oscillator import OscillatorNode, OscillatorType
+    from ..nodes.gain import GainNode
+
+    out_edges: dict = defaultdict(list)
+    audio_in: dict = defaultdict(int)
+    param_in: set = set()
+    for e in edges:
+        out_edges[e.src].append(e)
+        if e.param is not None:
+            param_in.add((e.dst, e.param))
+        else:
+            audio_in[e.dst] += 1
+
+    # candidate chains: (osc_id, gain_id_or_None, targets)
+    chains = []
+    for nid, node in nodes.items():
+        if not isinstance(node, OscillatorNode):
+            continue
+        if node._type == OscillatorType.CUSTOM:
+            continue  # per-voice wavetables: not grouped in v1
+        if (nid, "frequency") in param_in or (nid, "detune") in param_in:
+            continue
+        outs = out_edges.get(nid, [])
+        if not outs or any(e.src_output != 0 for e in outs):
+            continue
+        gain = None
+        if (len(outs) == 1 and outs[0].param is None
+                and outs[0].dst_input == 0
+                and isinstance(nodes.get(outs[0].dst), GainNode)):
+            g = outs[0].dst
+            if (g != dest_id and audio_in[g] == 1
+                    and (g, "gain") not in param_in
+                    and out_edges.get(g)):
+                gain = g
+                outs = out_edges[g]
+        targets = tuple(sorted(
+            (e.dst, e.dst_input, e.param or "") for e in outs))
+        if not targets:
+            continue
+        chains.append((nid, gain, targets, node._type))
+
+    # group by (waveform type, chain shape, target signature)
+    groups: dict = defaultdict(list)
+    for nid, gain, targets, typ in chains:
+        groups[(typ, gain is not None, targets)].append((nid, gain))
+
+    # drop groups whose targets point at nodes another group removes
+    # (rare: an env gain feeding another candidate's gain); iterate to a
+    # fixed point
+    live = {k: v for k, v in groups.items() if len(v) >= threshold}
+    while True:
+        removed = set()
+        for members in live.values():
+            for nid, gain in members:
+                removed.add(nid)
+                if gain is not None:
+                    removed.add(gain)
+        bad = [k for k in live
+               if any(t[0] in removed for t in k[2])]
+        if not bad:
+            break
+        for k in bad:
+            del live[k]
+    if not live:
+        return nodes, edges, {}
+
+    nodes2 = dict(nodes)
+    removed: set = set()
+    param_alias: dict = {}
+    fused_edges: list = []
+    for (typ, has_gain, targets), members in sorted(
+            live.items(), key=lambda kv: min(m[0] for m in kv[1])):
+        members = sorted(members)
+        fid = -(1 + min(m[0] for m in members))  # deterministic, unique
+        fnode = _FusedVoicesNode(fid, [nodes[m[0]] for m in members],
+                                 [nodes[m[1]] if m[1] is not None else None
+                                  for m in members], typ)
+        nodes2[fid] = fnode
+        for i, (onid, gnid) in enumerate(members):
+            removed.add(onid)
+            param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
+            param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
+            if gnid is not None:
+                removed.add(gnid)
+                param_alias[(gnid, "gain")] = (fid, f"v{i}.gain")
+        for dst, dst_input, pname in targets:
+            fused_edges.append(Edge(fid, 0, dst, dst_input, pname or None))
+
+    for nid in removed:
+        del nodes2[nid]
+    edges2 = [e for e in edges
+              if e.src not in removed and e.dst not in removed]
+    edges2.extend(fused_edges)
+    return nodes2, edges2, param_alias
+
+
+class _FusedVoicesNode:
+    """Synthetic graph node standing in for V fused source chains.
+
+    Exposes exactly the protocol compile_graph consumes: node_id, params
+    (the member AudioParams re-homed under per-voice aliases, so their
+    timelines compile once as usual), channel config, and make_kernel."""
+
+    number_of_inputs = 0
+    number_of_outputs = 1
+
+    def __init__(self, fid, oscs, gains, osc_type):
+        self.node_id = fid
+        # block-size budget: the kernel materializes ~(V, B) f64 temporaries
+        # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
+        self.compile_weight = 4 * len(oscs)
+        self.oscs = oscs
+        self.gains = gains
+        self.osc_type = osc_type
+        self._channel_config = oscs[0]._channel_config
+        # aliases grouped by param KIND so each group's dense rows pack
+        # contiguously in cg.dense_params (gather_params slices per group)
+        self._params = {}
+        for i, o in enumerate(oscs):
+            self._params[f"v{i}.frequency"] = o.params["frequency"]
+        for i, o in enumerate(oscs):
+            self._params[f"v{i}.detune"] = o.params["detune"]
+        for i, g in enumerate(gains):
+            if g is not None:
+                self._params[f"v{i}.gain"] = g.params["gain"]
+
+    @property
+    def params(self):
+        return self._params
+
+    def foreign_params(self):
+        return {}
+
+    def output_channel_count(self, input_counts):
+        return [1]
+
+    def make_kernel(self, rc):
+        return _FusedVoicesKernel(self, rc)
+
+
+class _FusedVoicesKernel:
+    """(V, B) vectorization of _OscillatorKernel x GainNode semantics
+    (see nodes/oscillator.py:34-108; reference oscillator.rs:419-560)."""
+
+    def __init__(self, node: _FusedVoicesNode, rc):
+        from ..nodes.oscillator import OscillatorType
+
+        self.n = node
+        self.fs = rc.sample_rate
+        self.type_ = node.osc_type
+        self.V = len(node.oscs)
+        self.has_gain = node.gains[0] is not None
+        fs = rc.sample_rate
+
+        starts, stops, ratios = [], [], []
+        for o in node.oscs:
+            start, stop = o._schedule_frames(fs)
+            starts.append(min(start, 2**31 - 1))
+            stops.append(min(stop, 2**31 - 1))
+            ratios.append(0.0 if start >= 2**31 - 1
+                          else float(start - o._start_time * fs))
+        self.starts = np.asarray(starts, np.int32)
+        self.stops = np.asarray(stops, np.int32)
+        self.ratios = np.asarray(ratios, np.float64)
+
+        plans = rc.param_plans
+
+        def classify(alias_fmt, pobj_of):
+            """-> (const_values (V,) f32 with dense slots 0, dense_pos,
+                   n_dense) respecting row order == alias order."""
+            const = np.zeros(self.V, np.float32)
+            dense_pos = []
+            for i in range(self.V):
+                plan = plans[alias_fmt.format(i)]
+                p = pobj_of(i)
+                if plan.is_constant:
+                    const[i] = np.float32(
+                        min(max(plan.scalar, p.min_value), p.max_value))
+                else:
+                    dense_pos.append(i)
+            return const, np.asarray(dense_pos, np.int32)
+
+        self.freq_const, self.freq_dense = classify(
+            "v{}.frequency", lambda i: node.oscs[i].params["frequency"])
+        self.det_const, self.det_dense = classify(
+            "v{}.detune", lambda i: node.oscs[i].params["detune"])
+        if self.has_gain:
+            self.gain_const, self.gain_dense = classify(
+                "v{}.gain", lambda i: node.gains[i].params["gain"])
+        p0 = node.oscs[0].params["frequency"]
+        self.freq_lim = (p0.min_value, p0.max_value)
+        d0 = node.oscs[0].params["detune"]
+        self.det_lim = (d0.min_value, d0.max_value)
+        if self.has_gain:
+            g0 = node.gains[0].params["gain"]
+            self.gain_lim = (g0.min_value, g0.max_value)
+        self.all_const_freq = (len(self.freq_dense) == 0
+                               and len(self.det_dense) == 0)
+        if self.all_const_freq:
+            # bit-identical to _OscillatorKernel's host math
+            # (nodes/oscillator.py make_kernel: f32 f * exp2(d / 1200))
+            f = self.freq_const.astype(np.float32)
+            d = self.det_const.astype(np.float32)
+            self.computed_const = (
+                f * np.exp2(d / np.float32(1200.0))).astype(np.float32)
+
+    def vector_params(self):
+        """Contiguous packed-row groups (compile_graph slices each group
+        from xs_params in one op instead of 3V gathers)."""
+        groups = {
+            "frequency": [f"v{i}.frequency" for i in range(self.V)],
+            "detune": [f"v{i}.detune" for i in range(self.V)],
+        }
+        if self.has_gain:
+            groups["gain"] = [f"v{i}.gain" for i in range(self.V)]
+        return groups
+
+    def resources(self):
+        res = {
+            "starts": self.starts, "stops": self.stops,
+            "ratios": self.ratios,
+            "freq_const": self.freq_const, "det_const": self.det_const,
+        }
+        if self.has_gain:
+            res["gain_const"] = self.gain_const
+        if self.all_const_freq:
+            res["computed_const"] = self.computed_const
+        return res
+
+    def tail_frames(self):
+        # closed-form phases are time-indexed; the cumsum path carries
+        # unbounded phase state (same contract as _OscillatorKernel)
+        return 0 if self.all_const_freq else None
+
+    def init_state(self):
+        return {"phase": jnp.zeros((self.V,), jnp.float64)}
+
+    def _full(self, const, dense_pos, dense_rows, lim, B):
+        """(V, B) param matrix from per-voice constants + packed rows."""
+        full = jnp.broadcast_to(const[:, None], (self.V, B))
+        if len(dense_pos):
+            rows = jnp.clip(dense_rows, lim[0], lim[1])
+            full = full.at[dense_pos].set(rows)
+        return full
+
+    def process(self, scope, state, inputs, params):
+        from ..ops import oscillator as osc_ops
+
+        r = scope.node_resources
+        fs = self.fs
+        B = scope.frames
+        t = scope.t_idx                                        # (B,) i32
+        mask = (t[None, :] >= r["starts"][:, None]) & (
+            t[None, :] < r["stops"][:, None])                  # (V, B)
+
+        if self.all_const_freq:
+            computed = r["computed_const"][:, None]            # (V, 1)
+            incr_host = (r["computed_const"].astype(jnp.float64) / fs)
+            n_rel = (t[None, :] - r["starts"][:, None]).astype(jnp.float64)
+            phase = jnp.mod(
+                (n_rel + r["ratios"][:, None]) * incr_host[:, None],
+                1.0).astype(jnp.float32)                       # (V, B)
+            incr = jnp.broadcast_to(incr_host[:, None].astype(jnp.float32),
+                                    (self.V, B))
+            carry = state["phase"]
+        else:
+            freq = self._full(r["freq_const"], self.freq_dense,
+                              params.get("frequency"), self.freq_lim, B)
+            det = self._full(r["det_const"], self.det_dense,
+                             params.get("detune"), self.det_lim, B)
+            computed = osc_ops.computed_frequency(freq, det)   # (V, B)
+            incr64 = computed.astype(jnp.float64) / fs
+            incr = incr64.astype(jnp.float32)
+            at_start = t[None, :] == r["starts"][:, None]
+            corr = jnp.sum(jnp.where(at_start, incr64, 0.0),
+                           axis=1) * r["ratios"]               # (V,)
+            phase, carry = jax.vmap(osc_ops.accumulate_phase)(
+                state["phase"], incr64, mask, corr)
+
+        from ..nodes.oscillator import OscillatorType
+        if self.type_ == OscillatorType.SINE:
+            wave = osc_ops.sine(phase)
+        elif self.type_ == OscillatorType.SAWTOOTH:
+            wave = osc_ops.sawtooth(phase, incr)
+        elif self.type_ == OscillatorType.SQUARE:
+            wave = osc_ops.square(phase, incr)
+        else:
+            wave = osc_ops.triangle(phase)
+
+        audible = jnp.abs(computed) < (fs / 2.0)
+        voices = jnp.where(mask & audible, wave, 0.0)
+
+        if self.has_gain:
+            gain = self._full(r["gain_const"], self.gain_dense,
+                              params.get("gain"), self.gain_lim, B)
+            voices = voices * gain
+
+        out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
+        return {"phase": carry}, [out]

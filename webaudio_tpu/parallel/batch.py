@@ -53,8 +53,8 @@ class GraphBatch:
             base[None], (batch, self.nb, P_rows, B)).copy()
         self.frame0s = jnp.asarray(np.arange(self.nb, dtype=np.int32) * B)
 
-        states = {_compiler._k(nid): self.cg.kernels[nid].init_state()
-                  for nid in context._nodes}
+        states = {_compiler._k(nid): k.init_state()
+                  for nid, k in self.cg.kernels.items()}
         self._states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), states)
 
@@ -130,6 +130,7 @@ class GraphBatch:
             arr = np.concatenate(
                 [arr, np.repeat(arr[:, -1:], padded - arr.shape[1], 1)], axis=1)
         key = (node.node_id, param_name)
+        key = self.cg.param_alias.get(key, key)  # fused chains remap rows
         if key not in self.cg.dense_params:
             raise ValueError(
                 "param was compiled as a constant; schedule at least one "

@@ -55,7 +55,7 @@ def render_time_sharded(context, total_frames: int | None = None,
         t = kern.tail_frames()
         if t is None:
             raise NotTimeShardableError(
-                f"node {type(context._nodes[nid]).__name__} (id {nid}) has "
+                f"node {type(kern).__name__} (id {nid}) has "
                 f"unbounded state history; render it sequentially")
         tails[nid] = t
     if cg.cycle_breakers or any(
@@ -92,8 +92,8 @@ def render_time_sharded(context, total_frames: int | None = None,
 
     resources = jax.tree_util.tree_map(
         jnp.asarray, _compiler.collect_resources(cg))
-    init_states = {_compiler._k(nid): cg.kernels[nid].init_state()
-                   for nid in context._nodes}
+    init_states = {_compiler._k(nid): k.init_state()
+                   for nid, k in cg.kernels.items()}
 
     def per_device(frame0s_local, xs_local, resources):
         # shapes arrive with the sharded leading axis of size 1
