@@ -185,3 +185,51 @@ def test_online_context_with_fused_graph():
         assert 0.1 < rms < 1.5, rms
     finally:
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_fused_custom_wave_and_constant_sources():
+    """Custom PeriodicWave oscillators fuse with stacked per-voice tables;
+    constant-source chains fuse as offset x gain banks."""
+    from webaudio_tpu import OfflineAudioContext
+
+    def build():
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, 4096, fs)
+        mix = ctx.create_gain(gain=0.05)
+        mix.connect(ctx.destination)
+        rng = np.random.RandomState(5)
+        for i in range(10):
+            pw = ctx.create_periodic_wave(
+                real=np.array([0, 1, 0.5 * (i + 1) / 10], np.float32),
+                imag=np.array([0, 0.3, 0.1 * i], np.float32))
+            o = ctx.create_oscillator(frequency=float(100 + 60 * i))
+            o.set_periodic_wave(pw)
+            o.connect(mix)
+            o.start(float(rng.rand() * 0.01))
+        for i in range(10):
+            c = ctx.create_constant_source(offset=0.1 * (i + 1))
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.0, 0.0)
+            env.gain.linear_ramp_to_value_at_time(0.02 * (i + 1), 0.05)
+            c.connect(env)
+            env.connect(mix)
+            c.start(float(i) * 0.002)
+            c.stop(0.06 + float(i) * 0.002)
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+    ref = build().start_rendering_sync().to_array()
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        fused = build().start_rendering_sync().to_array()
+        from webaudio_tpu.graph import compiler as C
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        # dest + mix + 2 fused banks (custom oscs, const sources)
+        assert len(cg.kernels) == 4, len(cg.kernels)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)

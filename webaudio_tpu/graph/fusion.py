@@ -53,7 +53,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     if threshold <= 0 or len(nodes) < threshold:
         return nodes, edges, {}
 
-    from ..nodes.oscillator import OscillatorNode, OscillatorType
+    from ..nodes.oscillator import OscillatorNode
+    from ..nodes.constant_source import ConstantSourceNode
     from ..nodes.gain import GainNode
 
     out_edges: dict = defaultdict(list)
@@ -66,14 +67,18 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
         else:
             audio_in[e.dst] += 1
 
-    # candidate chains: (osc_id, gain_id_or_None, targets)
+    # candidate chains: (source_id, gain_id_or_None, targets)
     chains = []
     for nid, node in nodes.items():
-        if not isinstance(node, OscillatorNode):
-            continue
-        if node._type == OscillatorType.CUSTOM:
-            continue  # per-voice wavetables: not grouped in v1
-        if (nid, "frequency") in param_in or (nid, "detune") in param_in:
+        if isinstance(node, OscillatorNode):
+            kind = node._type  # custom waves fuse too (stacked tables)
+            if (nid, "frequency") in param_in or (nid, "detune") in param_in:
+                continue
+        elif isinstance(node, ConstantSourceNode):
+            kind = "const_src"
+            if (nid, "offset") in param_in:
+                continue
+        else:
             continue
         outs = out_edges.get(nid, [])
         if not outs or any(e.src_output != 0 for e in outs):
@@ -92,12 +97,12 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             (e.dst, e.dst_input, e.param or "") for e in outs))
         if not targets:
             continue
-        chains.append((nid, gain, targets, node._type))
+        chains.append((nid, gain, targets, kind))
 
-    # group by (waveform type, chain shape, target signature)
+    # group by (source kind / waveform type, chain shape, target signature)
     groups: dict = defaultdict(list)
-    for nid, gain, targets, typ in chains:
-        groups[(typ, gain is not None, targets)].append((nid, gain))
+    for nid, gain, targets, kind in chains:
+        groups[(kind, gain is not None, targets)].append((nid, gain))
 
     # drop groups whose targets point at nodes another group removes
     # (rare: an env gain feeding another candidate's gain); iterate to a
@@ -123,18 +128,21 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     removed: set = set()
     param_alias: dict = {}
     fused_edges: list = []
-    for (typ, has_gain, targets), members in sorted(
+    for (kind, has_gain, targets), members in sorted(
             live.items(), key=lambda kv: min(m[0] for m in kv[1])):
         members = sorted(members)
         fid = -(1 + min(m[0] for m in members))  # deterministic, unique
         fnode = _FusedVoicesNode(fid, [nodes[m[0]] for m in members],
                                  [nodes[m[1]] if m[1] is not None else None
-                                  for m in members], typ)
+                                  for m in members], kind)
         nodes2[fid] = fnode
         for i, (onid, gnid) in enumerate(members):
             removed.add(onid)
-            param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
-            param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
+            if kind == "const_src":
+                param_alias[(onid, "offset")] = (fid, f"v{i}.offset")
+            else:
+                param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
+                param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
             if gnid is not None:
                 removed.add(gnid)
                 param_alias[(gnid, "gain")] = (fid, f"v{i}.gain")
@@ -159,22 +167,26 @@ class _FusedVoicesNode:
     number_of_inputs = 0
     number_of_outputs = 1
 
-    def __init__(self, fid, oscs, gains, osc_type):
+    def __init__(self, fid, sources, gains, kind):
         self.node_id = fid
         # block-size budget: the kernel materializes ~(V, B) f64 temporaries
         # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
-        self.compile_weight = 4 * len(oscs)
-        self.oscs = oscs
+        self.compile_weight = 4 * len(sources)
+        self.sources = sources
         self.gains = gains
-        self.osc_type = osc_type
-        self._channel_config = oscs[0]._channel_config
+        self.kind = kind  # OscillatorType, or the string "const_src"
+        self._channel_config = sources[0]._channel_config
         # aliases grouped by param KIND so each group's dense rows pack
         # contiguously in cg.dense_params (gather_params slices per group)
         self._params = {}
-        for i, o in enumerate(oscs):
-            self._params[f"v{i}.frequency"] = o.params["frequency"]
-        for i, o in enumerate(oscs):
-            self._params[f"v{i}.detune"] = o.params["detune"]
+        if kind == "const_src":
+            for i, src in enumerate(sources):
+                self._params[f"v{i}.offset"] = src.params["offset"]
+        else:
+            for i, src in enumerate(sources):
+                self._params[f"v{i}.frequency"] = src.params["frequency"]
+            for i, src in enumerate(sources):
+                self._params[f"v{i}.detune"] = src.params["detune"]
         for i, g in enumerate(gains):
             if g is not None:
                 self._params[f"v{i}.gain"] = g.params["gain"]
@@ -202,13 +214,16 @@ class _FusedVoicesKernel:
 
         self.n = node
         self.fs = rc.sample_rate
-        self.type_ = node.osc_type
-        self.V = len(node.oscs)
+        self.kind = node.kind
+        self.is_const_src = node.kind == "const_src"
+        self.is_custom = (not self.is_const_src
+                          and node.kind == OscillatorType.CUSTOM)
+        self.V = len(node.sources)
         self.has_gain = node.gains[0] is not None
         fs = rc.sample_rate
 
         starts, stops, ratios = [], [], []
-        for o in node.oscs:
+        for o in node.sources:
             start, stop = o._schedule_frames(fs)
             starts.append(min(start, 2**31 - 1))
             stops.append(min(stop, 2**31 - 1))
@@ -217,6 +232,10 @@ class _FusedVoicesKernel:
         self.starts = np.asarray(starts, np.int32)
         self.stops = np.asarray(stops, np.int32)
         self.ratios = np.asarray(ratios, np.float64)
+        if self.is_custom:
+            self.tables = np.stack(
+                [np.asarray(o._periodic_wave.as_array(), np.float32)
+                 for o in node.sources])
 
         plans = rc.param_plans
 
@@ -235,23 +254,30 @@ class _FusedVoicesKernel:
                     dense_pos.append(i)
             return const, np.asarray(dense_pos, np.int32)
 
-        self.freq_const, self.freq_dense = classify(
-            "v{}.frequency", lambda i: node.oscs[i].params["frequency"])
-        self.det_const, self.det_dense = classify(
-            "v{}.detune", lambda i: node.oscs[i].params["detune"])
+        if self.is_const_src:
+            self.off_const, self.off_dense = classify(
+                "v{}.offset", lambda i: node.sources[i].params["offset"])
+            o0 = node.sources[0].params["offset"]
+            self.off_lim = (o0.min_value, o0.max_value)
+            self.all_const_freq = True  # no phase state at all
+        else:
+            self.freq_const, self.freq_dense = classify(
+                "v{}.frequency",
+                lambda i: node.sources[i].params["frequency"])
+            self.det_const, self.det_dense = classify(
+                "v{}.detune", lambda i: node.sources[i].params["detune"])
+            p0 = node.sources[0].params["frequency"]
+            self.freq_lim = (p0.min_value, p0.max_value)
+            d0 = node.sources[0].params["detune"]
+            self.det_lim = (d0.min_value, d0.max_value)
+            self.all_const_freq = (len(self.freq_dense) == 0
+                                   and len(self.det_dense) == 0)
         if self.has_gain:
             self.gain_const, self.gain_dense = classify(
                 "v{}.gain", lambda i: node.gains[i].params["gain"])
-        p0 = node.oscs[0].params["frequency"]
-        self.freq_lim = (p0.min_value, p0.max_value)
-        d0 = node.oscs[0].params["detune"]
-        self.det_lim = (d0.min_value, d0.max_value)
-        if self.has_gain:
             g0 = node.gains[0].params["gain"]
             self.gain_lim = (g0.min_value, g0.max_value)
-        self.all_const_freq = (len(self.freq_dense) == 0
-                               and len(self.det_dense) == 0)
-        if self.all_const_freq:
+        if self.all_const_freq and not self.is_const_src:
             # bit-identical to _OscillatorKernel's host math
             # (nodes/oscillator.py make_kernel: f32 f * exp2(d / 1200))
             f = self.freq_const.astype(np.float32)
@@ -262,24 +288,31 @@ class _FusedVoicesKernel:
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
         from xs_params in one op instead of 3V gathers)."""
-        groups = {
-            "frequency": [f"v{i}.frequency" for i in range(self.V)],
-            "detune": [f"v{i}.detune" for i in range(self.V)],
-        }
+        if self.is_const_src:
+            groups = {"offset": [f"v{i}.offset" for i in range(self.V)]}
+        else:
+            groups = {
+                "frequency": [f"v{i}.frequency" for i in range(self.V)],
+                "detune": [f"v{i}.detune" for i in range(self.V)],
+            }
         if self.has_gain:
             groups["gain"] = [f"v{i}.gain" for i in range(self.V)]
         return groups
 
     def resources(self):
-        res = {
-            "starts": self.starts, "stops": self.stops,
-            "ratios": self.ratios,
-            "freq_const": self.freq_const, "det_const": self.det_const,
-        }
+        res = {"starts": self.starts, "stops": self.stops}
+        if self.is_const_src:
+            res["off_const"] = self.off_const
+        else:
+            res["ratios"] = self.ratios
+            res["freq_const"] = self.freq_const
+            res["det_const"] = self.det_const
+            if self.all_const_freq:
+                res["computed_const"] = self.computed_const
+            if self.is_custom:
+                res["tables"] = self.tables
         if self.has_gain:
             res["gain_const"] = self.gain_const
-        if self.all_const_freq:
-            res["computed_const"] = self.computed_const
         return res
 
     def tail_frames(self):
@@ -308,6 +341,17 @@ class _FusedVoicesKernel:
         mask = (t[None, :] >= r["starts"][:, None]) & (
             t[None, :] < r["stops"][:, None])                  # (V, B)
 
+        if self.is_const_src:
+            off = self._full(r["off_const"], self.off_dense,
+                             params.get("offset"), self.off_lim, B)
+            voices = jnp.where(mask, off, 0.0)
+            if self.has_gain:
+                gain = self._full(r["gain_const"], self.gain_dense,
+                                  params.get("gain"), self.gain_lim, B)
+                voices = voices * gain
+            out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
+            return state, [out]
+
         if self.all_const_freq:
             computed = r["computed_const"][:, None]            # (V, 1)
             incr_host = (r["computed_const"].astype(jnp.float64) / fs)
@@ -333,11 +377,14 @@ class _FusedVoicesKernel:
                 state["phase"], incr64, mask, corr)
 
         from ..nodes.oscillator import OscillatorType
-        if self.type_ == OscillatorType.SINE:
+        if self.is_custom:
+            wave = jax.vmap(osc_ops.wavetable_lookup)(
+                phase, scope.node_resources["tables"])
+        elif self.kind == OscillatorType.SINE:
             wave = osc_ops.sine(phase)
-        elif self.type_ == OscillatorType.SAWTOOTH:
+        elif self.kind == OscillatorType.SAWTOOTH:
             wave = osc_ops.sawtooth(phase, incr)
-        elif self.type_ == OscillatorType.SQUARE:
+        elif self.kind == OscillatorType.SQUARE:
             wave = osc_ops.square(phase, incr)
         else:
             wave = osc_ops.triangle(phase)
