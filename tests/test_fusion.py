@@ -233,3 +233,62 @@ def test_fused_custom_wave_and_constant_sources():
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
     scale = max(float(np.abs(ref).max()), 1e-9)
     np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fusion_random_topologies(seed):
+    """Random graph soups: fusion (threshold 2, aggressive) must never
+    change the rendered output, whatever the topology — chains sharing
+    gains, fan-outs, param connections, mixed types, stopped voices."""
+    from webaudio_tpu import OfflineAudioContext
+
+    def build(threshold):
+        os.environ["WEBAUDIO_FUSE_THRESHOLD"] = str(threshold)
+        rng = np.random.RandomState(seed)
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, 2048, fs)
+        mixes = [ctx.create_gain(gain=0.1) for _ in range(3)]
+        for m in mixes:
+            m.connect(ctx.destination)
+        oscs = []
+        for i in range(rng.randint(4, 14)):
+            kind = rng.randint(0, 3)
+            if kind == 0:
+                o = ctx.create_oscillator(
+                    type=["sine", "square", "sawtooth"][rng.randint(3)],
+                    frequency=float(100 + rng.rand() * 1000))
+            elif kind == 1:
+                o = ctx.create_constant_source(offset=float(rng.randn()))
+            else:
+                o = ctx.create_oscillator(frequency=float(200 + i))
+            oscs.append(o)
+            shape = rng.randint(0, 4)
+            if shape == 0:          # direct to one mix
+                o.connect(mixes[rng.randint(3)])
+            elif shape == 1:        # chain through own gain
+                g = ctx.create_gain(gain=float(rng.rand()))
+                if rng.rand() < 0.5:
+                    g.gain.linear_ramp_to_value_at_time(0.2, 0.04)
+                o.connect(g)
+                g.connect(mixes[rng.randint(3)])
+            elif shape == 2:        # fan-out to two mixes
+                o.connect(mixes[0])
+                o.connect(mixes[1])
+            else:                   # gain modulates a mix's gain param
+                g = ctx.create_gain(gain=0.2)
+                o.connect(g)
+                g.connect(mixes[2].params["gain"])
+            t0 = float(rng.rand() * 0.01)
+            o.start(t0)
+            if rng.rand() < 0.3:
+                o.stop(t0 + float(rng.rand() * 0.03))
+        return ctx
+
+    try:
+        ref = build(0).start_rendering_sync().to_array()
+        fused = build(2).start_rendering_sync().to_array()
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=3e-5 * scale,
+                               err_msg=f"fusion changed output (seed {seed})")
