@@ -289,3 +289,25 @@ def test_fuzz_split_compile_matches_oracle(seed):
     np.testing.assert_allclose(
         split, expected, atol=2e-5, rtol=2e-4,
         err_msg=f"split-compile divergence (seed {seed})")
+
+
+def test_strict_spec_holds_before_set_target(monkeypatch):
+    """WEBAUDIO_STRICT_SPEC=1: the value before a future setTarget holds
+    the current intrinsic (W3C spec) instead of the reference's
+    back-extrapolated boundary value."""
+    monkeypatch.setenv("WEBAUDIO_STRICT_SPEC", "1")
+    tl = Timeline(1.0)
+    tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=0.25, time=0.0))
+    tl.handle_event(ParamEvent(SET_TARGET, value=2.0, time=600.0,
+                               time_constant=20.0))
+    dense = compile_timeline(tl.snapshot(), 1.0, 512, True,
+                             force_dense=True).dense
+    # spec semantics: flat 0.25 all the way to the (out-of-range) start
+    np.testing.assert_array_equal(dense, np.float32(0.25))
+
+    monkeypatch.delenv("WEBAUDIO_STRICT_SPEC")
+    dense = compile_timeline(tl.snapshot(), 1.0, 512, True,
+                             force_dense=True).dense
+    # reference semantics: polluted from the first block boundary on
+    assert dense[0] == np.float32(0.25)
+    assert abs(dense[200]) > 1.0  # back-extrapolated e^{+x} plateau

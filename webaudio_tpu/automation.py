@@ -37,6 +37,19 @@ from .constants import RENDER_QUANTUM_SIZE, NotSupportedError, RangeError, Inval
 
 SNAP_TO_TARGET = 1e-10  # reference: param.rs:22
 
+
+def _strict_spec() -> bool:
+    """WEBAUDIO_STRICT_SPEC=1 opts into W3C-spec hold semantics before a
+    scheduled setTarget/setValueCurve starts, instead of the reference's
+    back-extrapolated intrinsic at block boundaries (param.rs:1367-1378
+    evaluates the event formula at next_block_time without a
+    time < start_time guard, then is_constant_block freezes it — for an
+    exponential setTarget scheduled seconds ahead this produces huge
+    transient values, e.g. a x200 gain plateau between an ADSR decay's
+    snap and its release).  Default follows the reference bit-for-bit."""
+    import os
+    return os.environ.get("WEBAUDIO_STRICT_SPEC", "") not in ("", "0")
+
 # --- event model ---------------------------------------------------------
 
 SET_VALUE = "set_value"
@@ -437,8 +450,11 @@ def compile_timeline(
                 # enormous for exponentials) that is then frozen by
                 # is_constant_block until the start quantum
                 # (param.rs:1367-1378 + 1527-1544)
-                p1 = _set_target_f32(a_nbt_t, start_time, time_constant,
-                                     v1, diff)
+                if _strict_spec():
+                    p1 = intrinsic  # spec: hold until start_time
+                else:
+                    p1 = _set_target_f32(a_nbt_t, start_time,
+                                         time_constant, v1, diff)
                 stop = min(active_end, end_frame)
                 if stop > cursor:
                     segments.append(_Segment(cursor, stop, "const",
@@ -572,8 +588,11 @@ def compile_timeline(
                 # boundary, then frozen until the start quantum (the curve
                 # sampler saturates negative positions to segment 0,
                 # param.rs:1466-1491 + 1527-1544)
-                p1 = float(np.float32(_set_value_curve_scalar(
-                    a_nbt_t, start_time, duration, values)))
+                if _strict_spec():
+                    p1 = intrinsic  # spec: hold until start_time
+                else:
+                    p1 = float(np.float32(_set_value_curve_scalar(
+                        a_nbt_t, start_time, duration, values)))
                 stop = min(active_end, end_frame)
                 if stop > cursor:
                     segments.append(_Segment(cursor, stop, "const",
