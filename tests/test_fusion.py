@@ -292,3 +292,74 @@ def test_fusion_random_topologies(seed):
     scale = max(float(np.abs(ref).max()), 1e-9)
     np.testing.assert_allclose(fused, ref, atol=3e-5 * scale,
                                err_msg=f"fusion changed output (seed {seed})")
+
+
+def test_fused_buffer_source_grains():
+    """Granular synthesis: many non-looping grains of one sample buffer,
+    each through its own envelope, fuse into one bank — exact vs unfused."""
+    from webaudio_tpu import OfflineAudioContext
+
+    def build():
+        fs = 44100.0
+        ctx = OfflineAudioContext(2, int(fs * 0.8), fs)
+        rng = np.random.RandomState(11)
+        sample = ctx.create_buffer(2, 8000, 22050.0)  # needs resample-rate
+        for c in range(2):
+            sample.copy_to_channel(
+                (rng.randn(8000) * 0.2).astype(np.float32), c)
+        for i in range(20):
+            when = i * 0.03
+            src = ctx.create_buffer_source(
+                playback_rate=float(0.8 + 0.02 * i),
+                detune=float((i - 10) * 5))
+            src.buffer = sample
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.0, when)
+            env.gain.linear_ramp_to_value_at_time(0.4, when + 0.04)
+            env.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+            src.connect(env)
+            env.connect(ctx.destination)
+            src.start(when, float(0.05 + 0.01 * i), 0.09)
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+    ref = build().start_rendering_sync().to_array()
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        fused = build().start_rendering_sync().to_array()
+        from webaudio_tpu.graph import compiler as C
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        assert len(cg.kernels) == 2  # dest + grain bank
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+def test_looping_or_automated_buffer_sources_not_fused():
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, 2048, fs)
+        sample = ctx.create_buffer(1, 1000, fs)
+        sample.copy_to_channel(np.ones(1000, np.float32), 0)
+        for i in range(6):
+            src = ctx.create_buffer_source(loop=(i % 2 == 0))
+            src.buffer = sample
+            if i % 2 == 1:
+                src.playback_rate.linear_ramp_to_value_at_time(2.0, 0.02)
+            src.connect(ctx.destination)
+            src.start()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        # nothing fusable: loops and automated rates are excluded
+        assert not any(nid < 0 for nid in cg.kernels)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)

@@ -55,6 +55,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
 
     from ..nodes.oscillator import OscillatorNode
     from ..nodes.constant_source import ConstantSourceNode
+    from ..nodes.buffer_source import AudioBufferSourceNode
     from ..nodes.gain import GainNode
 
     out_edges: dict = defaultdict(list)
@@ -78,6 +79,22 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             kind = "const_src"
             if (nid, "offset") in param_in:
                 continue
+        elif isinstance(node, AudioBufferSourceNode):
+            # v1: same buffer, constant compound rate, no loop (the
+            # granular-synthesis shape: many short grains of one sample)
+            def _const(p):
+                # constructor-time .value setters queue SetValue(t=0)
+                # events; those still compile to a constant
+                from ..automation import SET_VALUE
+                return all(e.event_type == SET_VALUE and e.time == 0.0
+                           for e in p._timeline.events)
+            if (node.buffer is None or node.loop
+                    or (nid, "playback_rate") in param_in
+                    or (nid, "detune") in param_in
+                    or not _const(node.params["playback_rate"])
+                    or not _const(node.params["detune"])):
+                continue
+            kind = ("bufsrc", id(node.buffer))
         else:
             continue
         outs = out_edges.get(nid, [])
@@ -140,6 +157,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             removed.add(onid)
             if kind == "const_src":
                 param_alias[(onid, "offset")] = (fid, f"v{i}.offset")
+            elif isinstance(kind, tuple) and kind[0] == "bufsrc":
+                pass  # constant rates: no packed rows to remap
             else:
                 param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
                 param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
@@ -182,6 +201,8 @@ class _FusedVoicesNode:
         if kind == "const_src":
             for i, src in enumerate(sources):
                 self._params[f"v{i}.offset"] = src.params["offset"]
+        elif isinstance(kind, tuple) and kind[0] == "bufsrc":
+            pass  # rates are constant by the fusion predicate
         else:
             for i, src in enumerate(sources):
                 self._params[f"v{i}.frequency"] = src.params["frequency"]
@@ -199,6 +220,8 @@ class _FusedVoicesNode:
         return {}
 
     def output_channel_count(self, input_counts):
+        if isinstance(self.kind, tuple) and self.kind[0] == "bufsrc":
+            return [self.sources[0].buffer.number_of_channels]
         return [1]
 
     def make_kernel(self, rc):
@@ -216,7 +239,9 @@ class _FusedVoicesKernel:
         self.fs = rc.sample_rate
         self.kind = node.kind
         self.is_const_src = node.kind == "const_src"
-        self.is_custom = (not self.is_const_src
+        self.is_bufsrc = (isinstance(node.kind, tuple)
+                          and node.kind[0] == "bufsrc")
+        self.is_custom = (not self.is_const_src and not self.is_bufsrc
                           and node.kind == OscillatorType.CUSTOM)
         self.V = len(node.sources)
         self.has_gain = node.gains[0] is not None
@@ -236,6 +261,26 @@ class _FusedVoicesKernel:
             self.tables = np.stack(
                 [np.asarray(o._periodic_wave.as_array(), np.float32)
                  for o in node.sources])
+        if self.is_bufsrc:
+            buf = node.sources[0].buffer
+            self.buf_len = buf.length
+            self.buf_rate = buf.sample_rate
+            self.buf_duration = buf.length / buf.sample_rate
+            self.data_host = buf.to_array()  # (C, L) shared by all voices
+            rates, offsets, durations = [], [], []
+            for src in node.sources:
+                pr = np.float64(np.float32(src.playback_rate.value))
+                dt_ = np.float64(np.float32(src.detune.value))
+                rates.append(float(pr * np.exp2(dt_ / 1200.0)))
+                offsets.append(float(src._offset))
+                d = src._duration
+                durations.append(np.inf if d is None else float(d))
+            self.rates = np.asarray(rates, np.float64)
+            self.offsets = np.asarray(offsets, np.float64)
+            self.durations = np.asarray(durations, np.float64)
+            self.start_times = np.asarray(
+                [0.0 if o._start_time is None else float(o._start_time)
+                 for o in node.sources], np.float64)
 
         plans = rc.param_plans
 
@@ -254,7 +299,9 @@ class _FusedVoicesKernel:
                     dense_pos.append(i)
             return const, np.asarray(dense_pos, np.int32)
 
-        if self.is_const_src:
+        if self.is_bufsrc:
+            self.all_const_freq = True  # playhead is time-indexed
+        elif self.is_const_src:
             self.off_const, self.off_dense = classify(
                 "v{}.offset", lambda i: node.sources[i].params["offset"])
             o0 = node.sources[0].params["offset"]
@@ -277,7 +324,8 @@ class _FusedVoicesKernel:
                 "v{}.gain", lambda i: node.gains[i].params["gain"])
             g0 = node.gains[0].params["gain"]
             self.gain_lim = (g0.min_value, g0.max_value)
-        if self.all_const_freq and not self.is_const_src:
+        if (self.all_const_freq and not self.is_const_src
+                and not self.is_bufsrc):
             # bit-identical to _OscillatorKernel's host math
             # (nodes/oscillator.py make_kernel: f32 f * exp2(d / 1200))
             f = self.freq_const.astype(np.float32)
@@ -288,7 +336,9 @@ class _FusedVoicesKernel:
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
         from xs_params in one op instead of 3V gathers)."""
-        if self.is_const_src:
+        if self.is_bufsrc:
+            groups = {}
+        elif self.is_const_src:
             groups = {"offset": [f"v{i}.offset" for i in range(self.V)]}
         else:
             groups = {
@@ -301,7 +351,12 @@ class _FusedVoicesKernel:
 
     def resources(self):
         res = {"starts": self.starts, "stops": self.stops}
-        if self.is_const_src:
+        if self.is_bufsrc:
+            res["data"] = self.data_host
+            res["rates"] = self.rates
+            res["offsets"] = self.offsets
+            res["durations"] = self.durations
+        elif self.is_const_src:
             res["off_const"] = self.off_const
         else:
             res["ratios"] = self.ratios
@@ -340,6 +395,39 @@ class _FusedVoicesKernel:
         t = scope.t_idx                                        # (B,) i32
         mask = (t[None, :] >= r["starts"][:, None]) & (
             t[None, :] < r["stops"][:, None])                  # (V, B)
+
+        if self.is_bufsrc:
+            # vectorized constant-rate closed-form playhead
+            # (nodes/buffer_source.py _process_closed_form)
+            fs64 = float(fs)
+            started = self.starts < 2**31 - 1
+            delta = np.where(started,
+                             self.starts / fs64 - self.start_times, 0.0)
+            offset_eff = np.clip(self.offsets + delta * self.rates,
+                                 0.0, self.buf_duration)
+            offset_pos = offset_eff * self.buf_rate          # (V,) static
+            ratio = self.buf_rate / fs64
+            n_rel = (t[None, :] - r["starts"][:, None]).astype(jnp.float64)
+            dur_ok = (n_rel * jnp.abs(r["rates"])[:, None]
+                      < r["durations"][:, None] * fs64)
+            active = mask & dur_ok
+            pos = (jnp.asarray(offset_pos)[:, None]
+                   + (r["rates"] * ratio)[:, None] * n_rel)   # (V, B) f64
+            valid = active & (pos >= 0.0) & (pos < float(self.buf_len))
+            floored = jnp.floor(pos)
+            prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
+            frac = (pos - floored).astype(jnp.float32)
+            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
+            data = r["data"]                                  # (C, L)
+            smp = (data[:, prev_i] * (1.0 - frac)[None]
+                   + data[:, next_i] * frac[None])            # (C, V, B)
+            voices = jnp.where(valid[None], smp, 0.0)
+            if self.has_gain:
+                gain = self._full(r["gain_const"], self.gain_dense,
+                                  params.get("gain"), self.gain_lim, B)
+                voices = voices * gain[None]
+            out = jnp.sum(voices, axis=1, dtype=jnp.float32)  # (C, B)
+            return state, [out]
 
         if self.is_const_src:
             off = self._full(r["off_const"], self.off_dense,
