@@ -265,6 +265,38 @@ def case_delay_network():
     return ctx, seconds
 
 
+def case_granular_grains(n_grains=400):
+    """Granular synthesis: 400 enveloped grains of one sample, auto-fused
+    into a single (V, B) grain-bank kernel (reference: examples/granular.rs
+    pattern at production density)."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 44100.0, 10.0
+    ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+    sample_path = "/root/reference/samples/sample.wav"
+    if os.path.exists(sample_path):
+        sample = ctx.decode_audio_data_sync(sample_path)
+    else:
+        sample = wa.AudioBuffer.from_array(
+            np.sin(np.arange(2 * 44100) * 0.05, dtype=np.float32)[None]
+            .repeat(2, 0), fs)
+    rng = np.random.RandomState(1)
+    for i in range(n_grains):
+        when = i * (seconds - 0.2) / n_grains
+        offset = 0.3 + 2.0 * (i / n_grains) + rng.rand() * 0.05
+        src = ctx.create_buffer_source(
+            playback_rate=float(0.9 + 0.2 * rng.rand()))
+        src.buffer = sample
+        env = ctx.create_gain(gain=0.0)
+        env.gain.set_value_at_time(0.0, when)
+        env.gain.linear_ramp_to_value_at_time(0.4, when + 0.045)
+        env.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+        src.connect(env)
+        env.connect(ctx.destination)
+        src.start(when, float(offset), 0.09)
+    return ctx, seconds
+
+
 CASES = {
     "buffer_biquad": case_buffer_biquad,
     "many_oscillators": case_many_oscillators,
@@ -275,6 +307,7 @@ CASES = {
     "stereo_pan_automation": case_stereo_pan_automation,
     "iir_chain": case_iir_chain,
     "delay_network": case_delay_network,
+    "granular_grains": case_granular_grains,
 }
 
 
