@@ -33,6 +33,23 @@ def collect_diagnostics(context) -> dict:
         "current_time": context.current_time,
         "graph": {"nodes": nodes, "edges": edges},
     }
+    # fusion preview: what the compiler would rewrite (graph/fusion.py)
+    try:
+        from .graph import fusion as _fusion
+        n2, _, alias = _fusion.fuse_sources(
+            dict(context._nodes), list(context._edges),
+            context._destination.node_id)
+        fused = {nid: node for nid, node in n2.items() if nid < 0}
+        diag["fusion"] = {
+            "groups": [{
+                "fused_id": nid,
+                "kind": str(getattr(node, "kind", "?")),
+                "voices": len(getattr(node, "sources", [])),
+            } for nid, node in sorted(fused.items())],
+            "nodes_removed": len(context._nodes) + len(fused) - len(n2),
+        }
+    except Exception:
+        pass
     backend = getattr(context, "_backend", None)
     if backend is not None:
         diag["backend"] = {"sink_id": str(backend.sink_id)}
