@@ -295,3 +295,77 @@ def test_set_target_to_zero_flushes_subnormals():
     tiny = np.finfo(np.float32).tiny
     nonzero = out[out != 0.0]
     assert np.all(np.abs(nonzero) >= tiny), "subnormals must be flushed"
+
+
+# --- pinned vectors from the reference's own unit tests (param.rs) --------
+# (only block-size-independent cases: the reference tests use artificial
+# 10-sample quanta; ours are the production 128)
+
+def _compile(tl, length):
+    from webaudio_tpu.automation import compile_timeline
+    return compile_timeline(tl.snapshot(), 1.0, length, True,
+                            force_dense=True).dense
+
+
+def test_ref_set_target_waits_for_start_time():
+    """param.rs test_set_target_at_time_waits_for_start_time"""
+    import math
+    from webaudio_tpu.automation import (Timeline, ParamEvent,
+                                         SET_VALUE_AT_TIME, SET_TARGET)
+    tl = Timeline(0.0)
+    tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=1.0, time=0.0))
+    tl.handle_event(ParamEvent(SET_TARGET, value=0.0, time=5.0,
+                               time_constant=1.0))
+    vs = _compile(tl, 128)
+    np.testing.assert_array_equal(vs[:5], 1.0)
+    for t in range(5, 20):
+        expect = np.float32(1.0 * math.exp(-(t - 5.0)))
+        np.testing.assert_allclose(vs[t], expect, atol=1e-7)
+
+
+def test_ref_set_target_followed_by_set_value():
+    """param.rs test_set_target_at_time_a_rate_followed_by_set_value"""
+    import math
+    from webaudio_tpu.automation import (Timeline, ParamEvent,
+                                         SET_VALUE_AT_TIME, SET_TARGET)
+    tl = Timeline(0.0)
+    tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=0.0, time=0.0))
+    tl.handle_event(ParamEvent(SET_TARGET, value=2.0, time=0.0,
+                               time_constant=1.0))
+    tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=0.5, time=15.0))
+    vs = _compile(tl, 128)
+    for t in range(15):
+        expect = np.float32(2.0 + (0.0 - 2.0) * math.exp(-float(t)))
+        np.testing.assert_allclose(vs[t], expect, atol=1e-7, err_msg=str(t))
+    np.testing.assert_array_equal(vs[15:], np.float32(0.5))
+
+
+def test_ref_cancel_scheduled_values():
+    """param.rs test_cancel_scheduled_values"""
+    from webaudio_tpu.automation import (Timeline, ParamEvent,
+                                         SET_VALUE_AT_TIME,
+                                         CANCEL_SCHEDULED_VALUES)
+    tl = Timeline(0.0)
+    for t in range(10):
+        tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=float(t),
+                                   time=float(t)))
+    tl.handle_event(ParamEvent(CANCEL_SCHEDULED_VALUES, time=5.0))
+    vs = _compile(tl, 128)
+    np.testing.assert_array_equal(
+        vs[:10], np.array([0, 1, 2, 3, 4, 4, 4, 4, 4, 4], np.float32))
+    np.testing.assert_array_equal(vs[10:], np.float32(4.0))
+
+
+def test_ref_exponential_ramp_zero_and_opposite():
+    """param.rs test_exponential_ramp_a_rate_zero_and_opposite_target:
+    v0 and v1 with opposite signs (or v0 == 0) behave as SetValue at the
+    ramp's end time."""
+    from webaudio_tpu.automation import (Timeline, ParamEvent,
+                                         SET_VALUE_AT_TIME,
+                                         EXPONENTIAL_RAMP)
+    tl = Timeline(0.0)
+    tl.handle_event(ParamEvent(SET_VALUE_AT_TIME, value=1.0, time=0.0))
+    tl.handle_event(ParamEvent(EXPONENTIAL_RAMP, value=-2.0, time=10.0))
+    vs = _compile(tl, 128)
+    np.testing.assert_array_equal(vs[:10], np.float32(1.0))
+    np.testing.assert_array_equal(vs[10:], np.float32(-2.0))
