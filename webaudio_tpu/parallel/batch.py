@@ -51,7 +51,10 @@ class GraphBatch:
         base = base.reshape(P_rows, self.nb, B).transpose(1, 0, 2)
         self._xs = np.broadcast_to(
             base[None], (batch, self.nb, P_rows, B)).copy()
-        self.frame0s = jnp.asarray(np.arange(self.nb, dtype=np.int32) * B)
+        # host numpy on purpose: the scan closes over it, and a *device*
+        # array constant would need a device->host readback at lowering
+        # (UNIMPLEMENTED on tunneled TPU backends)
+        self.frame0s = np.arange(self.nb, dtype=np.int32) * B
 
         states = {_compiler._k(nid): k.init_state()
                   for nid, k in self.cg.kernels.items()}
