@@ -95,7 +95,7 @@ def render_time_sharded(context, total_frames: int | None = None,
     init_states = {_compiler._k(nid): k.init_state()
                    for nid, k in cg.kernels.items()}
 
-    def per_device(frame0s_local, xs_local, resources):
+    def per_device(frame0s_local, xs_local, resources, init_states):
         # shapes arrive with the sharded leading axis of size 1
         f0s = frame0s_local[0]
         xs_l = xs_local[0]
@@ -120,15 +120,21 @@ def render_time_sharded(context, total_frames: int | None = None,
     fn = shard_map(
         per_device, mesh=mesh,
         in_specs=(P("time"), P("time"),
-                  jax.tree_util.tree_map(lambda _: P(), resources)),
+                  jax.tree_util.tree_map(lambda _: P(), resources),
+                  jax.tree_util.tree_map(lambda _: P(), init_states)),
         out_specs=P("time"))
 
     sh = NamedSharding(mesh, P("time"))
+    repl = NamedSharding(mesh, P())
     f0_dev = jax.device_put(jnp.asarray(frame0s), sh)
     xs_dev = jax.device_put(jnp.asarray(xs), sh)
-    res_dev = jax.device_put(resources, NamedSharding(mesh, P()))
+    res_dev = jax.device_put(resources, repl)
+    # states ride as arguments: closing over device arrays embeds them as
+    # HLO constants, whose lowering needs a device->host readback
+    # (UNIMPLEMENTED on tunneled TPU backends)
+    init_dev = jax.device_put(init_states, repl)
 
-    out = jax.jit(fn)(f0_dev, xs_dev, res_dev)   # (n_dev, nb_net, C, B)
+    out = jax.jit(fn)(f0_dev, xs_dev, res_dev, init_dev)
     out = np.asarray(out)
     C = out.shape[2]
     flat = out.reshape(n_dev * nb_net, C, B).transpose(1, 0, 2).reshape(C, -1)
