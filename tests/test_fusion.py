@@ -363,3 +363,41 @@ def test_looping_or_automated_buffer_sources_not_fused():
         assert not any(nid < 0 for nid in cg.kernels)
     finally:
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_explicit_channel_gain_not_fused():
+    """A gain with an explicit channel count up-mixes inside the chain
+    and must not fuse (channel propagation would change)."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        def build():
+            ctx = OfflineAudioContext(2, 1024, 48000.0)
+            for i in range(6):
+                o = ctx.create_oscillator(frequency=200.0 + i)
+                g = ctx.create_gain(gain=0.1)
+                g.channel_count = 2
+                g.channel_count_mode = "explicit"
+                o.connect(g)
+                g.connect(ctx.destination)
+                o.start()
+            return ctx
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        # the chains must NOT fuse through the explicit gains; the bare
+        # oscillators may fuse as a direct group targeting the gains —
+        # what matters is every gain kernel survives
+        from webaudio_tpu.nodes.gain import GainNode
+        gain_ids = [nid for nid, n in ctx._nodes.items()
+                    if isinstance(n, GainNode)]
+        assert all(g in cg.kernels for g in gain_ids)
+        out_f = build().start_rendering_sync().to_array()
+        os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+        out_u = build().start_rendering_sync().to_array()
+        np.testing.assert_allclose(out_f, out_u, atol=1e-6)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)

@@ -57,6 +57,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     from ..nodes.constant_source import ConstantSourceNode
     from ..nodes.buffer_source import AudioBufferSourceNode
     from ..nodes.gain import GainNode
+    from ..ops.mixing import ChannelCountMode
 
     out_edges: dict = defaultdict(list)
     audio_in: dict = defaultdict(int)
@@ -105,9 +106,14 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
                 and outs[0].dst_input == 0
                 and isinstance(nodes.get(outs[0].dst), GainNode)):
             g = outs[0].dst
+            gcfg = nodes[g]._channel_config
             if (g != dest_id and audio_in[g] == 1
                     and (g, "gain") not in param_in
-                    and out_edges.get(g)):
+                    and out_edges.get(g)
+                    # an explicit/clamped channel count up-mixes *inside*
+                    # the chain and changes downstream channel propagation;
+                    # only Max-mode (pass-through width) gains fuse
+                    and gcfg.mode == ChannelCountMode.MAX):
                 gain = g
                 outs = out_edges[g]
         targets = tuple(sorted(
