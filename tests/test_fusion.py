@@ -401,3 +401,74 @@ def test_explicit_channel_gain_not_fused():
         np.testing.assert_allclose(out_f, out_u, atol=1e-6)
     finally:
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_fused_subtractive_synth_chains():
+    """osc -> biquad(const coefs) -> gain envelope -> mix chains fuse into
+    one bank with a per-voice partitioned-convolution filter stage."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    def build():
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, int(fs * 0.4), fs)
+        rng = np.random.RandomState(3)
+        mix = ctx.create_gain(gain=1.0 / 12)
+        mix.connect(ctx.destination)
+        for i in range(12):
+            o = ctx.create_oscillator(type="sawtooth",
+                                      frequency=float(80 + 50 * i))
+            f = ctx.create_biquad_filter(
+                type=["lowpass", "bandpass", "highpass"][i % 3],
+                frequency=float(400 + 200 * i), q=float(1 + i % 5))
+            env = ctx.create_gain(gain=0.0)
+            t0 = i * 0.02
+            env.gain.set_value_at_time(0.0, t0)
+            env.gain.linear_ramp_to_value_at_time(1.0, t0 + 0.03)
+            o.connect(f)
+            f.connect(env)
+            env.connect(mix)
+            o.start(t0)
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+    ref = build().start_rendering_sync().to_array()
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        fused = build().start_rendering_sync().to_array()
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        assert len(cg.kernels) == 3  # dest + mix + fused bank
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+def test_automated_filter_chain_not_fused():
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        ctx = OfflineAudioContext(1, 1024, 48000.0)
+        for i in range(6):
+            o = ctx.create_oscillator(frequency=300.0 + i)
+            f = ctx.create_biquad_filter(frequency=1000.0)
+            f.frequency.linear_ramp_to_value_at_time(4000.0, 0.02)
+            o.connect(f)
+            f.connect(ctx.destination)
+            o.start()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        # the filters stay standalone; the oscillators can't fuse either
+        # (each targets a different filter)
+        from webaudio_tpu.nodes.biquad_filter import BiquadFilterNode
+        fids = [nid for nid, n in ctx._nodes.items()
+                if isinstance(n, BiquadFilterNode)]
+        assert all(f in cg.kernels for f in fids)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)

@@ -56,6 +56,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     from ..nodes.oscillator import OscillatorNode
     from ..nodes.constant_source import ConstantSourceNode
     from ..nodes.buffer_source import AudioBufferSourceNode
+    from ..nodes.biquad_filter import BiquadFilterNode
     from ..nodes.gain import GainNode
     from ..ops.mixing import ChannelCountMode
 
@@ -69,7 +70,15 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
         else:
             audio_in[e.dst] += 1
 
-    # candidate chains: (source_id, gain_id_or_None, targets)
+    def _const(p):
+        # constructor-time .value setters queue SetValue(t=0) events;
+        # those still compile to a constant
+        from ..automation import SET_VALUE
+        return all(e.event_type == SET_VALUE and e.time == 0.0
+                   for e in p._timeline.events)
+
+    # candidate chains: (source_id, filter_id_or_None, gain_id_or_None,
+    #                    targets)
     chains = []
     for nid, node in nodes.items():
         if isinstance(node, OscillatorNode):
@@ -83,12 +92,6 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
         elif isinstance(node, AudioBufferSourceNode):
             # v1: same buffer, constant compound rate, no loop (the
             # granular-synthesis shape: many short grains of one sample)
-            def _const(p):
-                # constructor-time .value setters queue SetValue(t=0)
-                # events; those still compile to a constant
-                from ..automation import SET_VALUE
-                return all(e.event_type == SET_VALUE and e.time == 0.0
-                           for e in p._timeline.events)
             if (node.buffer is None or node.loop
                     or (nid, "playback_rate") in param_in
                     or (nid, "detune") in param_in
@@ -101,6 +104,24 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
         outs = out_edges.get(nid, [])
         if not outs or any(e.src_output != 0 for e in outs):
             continue
+        # optional constant-coefficient biquad stage (subtractive-synth
+        # chains; mono sources only — buffer sources keep gain-only chains)
+        filt = None
+        if (not (isinstance(kind, tuple) and kind[0] == "bufsrc")
+                and len(outs) == 1 and outs[0].param is None
+                and outs[0].dst_input == 0
+                and isinstance(nodes.get(outs[0].dst), BiquadFilterNode)):
+            fcand = outs[0].dst
+            fnode = nodes[fcand]
+            if (fcand != dest_id and audio_in[fcand] == 1
+                    and all((fcand, pn) not in param_in
+                            for pn in ("frequency", "detune", "q", "gain"))
+                    and all(_const(fnode.params[pn])
+                            for pn in ("frequency", "detune", "q", "gain"))
+                    and fnode._channel_config.mode == ChannelCountMode.MAX
+                    and out_edges.get(fcand)):
+                filt = fcand
+                outs = out_edges[fcand]
         gain = None
         if (len(outs) == 1 and outs[0].param is None
                 and outs[0].dst_input == 0
@@ -120,12 +141,13 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             (e.dst, e.dst_input, e.param or "") for e in outs))
         if not targets:
             continue
-        chains.append((nid, gain, targets, kind))
+        chains.append((nid, filt, gain, targets, kind))
 
     # group by (source kind / waveform type, chain shape, target signature)
     groups: dict = defaultdict(list)
-    for nid, gain, targets, kind in chains:
-        groups[(kind, gain is not None, targets)].append((nid, gain))
+    for nid, filt, gain, targets, kind in chains:
+        groups[(kind, filt is not None, gain is not None, targets)].append(
+            (nid, filt, gain))
 
     # drop groups whose targets point at nodes another group removes
     # (rare: an env gain feeding another candidate's gain); iterate to a
@@ -134,12 +156,14 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     while True:
         removed = set()
         for members in live.values():
-            for nid, gain in members:
+            for nid, filt, gain in members:
                 removed.add(nid)
+                if filt is not None:
+                    removed.add(filt)
                 if gain is not None:
                     removed.add(gain)
         bad = [k for k in live
-               if any(t[0] in removed for t in k[2])]
+               if any(t[0] in removed for t in k[3])]
         if not bad:
             break
         for k in bad:
@@ -151,15 +175,18 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     removed: set = set()
     param_alias: dict = {}
     fused_edges: list = []
-    for (kind, has_gain, targets), members in sorted(
+    for (kind, has_filt, has_gain, targets), members in sorted(
             live.items(), key=lambda kv: min(m[0] for m in kv[1])):
         members = sorted(members)
         fid = -(1 + min(m[0] for m in members))  # deterministic, unique
-        fnode = _FusedVoicesNode(fid, [nodes[m[0]] for m in members],
-                                 [nodes[m[1]] if m[1] is not None else None
-                                  for m in members], kind)
+        fnode = _FusedVoicesNode(
+            fid, [nodes[m[0]] for m in members],
+            [nodes[m[2]] if m[2] is not None else None for m in members],
+            kind,
+            filters=[nodes[m[1]] if m[1] is not None else None
+                     for m in members])
         nodes2[fid] = fnode
-        for i, (onid, gnid) in enumerate(members):
+        for i, (onid, fnid, gnid) in enumerate(members):
             removed.add(onid)
             if kind == "const_src":
                 param_alias[(onid, "offset")] = (fid, f"v{i}.offset")
@@ -168,6 +195,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             else:
                 param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
                 param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
+            if fnid is not None:
+                removed.add(fnid)  # constant coefs: no packed rows
             if gnid is not None:
                 removed.add(gnid)
                 param_alias[(gnid, "gain")] = (fid, f"v{i}.gain")
@@ -192,14 +221,15 @@ class _FusedVoicesNode:
     number_of_inputs = 0
     number_of_outputs = 1
 
-    def __init__(self, fid, sources, gains, kind):
+    def __init__(self, fid, sources, gains, kind, filters=None):
         self.node_id = fid
         # block-size budget: the kernel materializes ~(V, B) f64 temporaries
         # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
         self.compile_weight = 4 * len(sources)
         self.sources = sources
         self.gains = gains
-        self.kind = kind  # OscillatorType, or the string "const_src"
+        self.filters = filters or [None] * len(sources)
+        self.kind = kind  # OscillatorType, "const_src", or ("bufsrc", id)
         self._channel_config = sources[0]._channel_config
         # aliases grouped by param KIND so each group's dense rows pack
         # contiguously in cg.dense_params (gather_params slices per group)
@@ -251,7 +281,36 @@ class _FusedVoicesKernel:
                           and node.kind == OscillatorType.CUSTOM)
         self.V = len(node.sources)
         self.has_gain = node.gains[0] is not None
+        self.has_filter = node.filters[0] is not None
         fs = rc.sample_rate
+
+        if self.has_filter:
+            # per-voice constant-coefficient biquads -> truncated IRs ->
+            # one partitioned-convolution bank with voices as channels
+            # (mirrors _BiquadLTIKernel, nodes/biquad_filter.py:154-178)
+            from ..nodes.biquad_filter import _np_coefs, _computed_freq
+            from ..ops import fft_conv, recurrence
+            self.partition = fft_conv.choose_partition(rc.block_frames)
+            spectra = []
+            for fl in node.filters:
+                fp = fl.params
+                f = _computed_freq(
+                    np.float64(np.float32(
+                        fp["frequency"]._timeline.intrinsic_value)),
+                    np.float64(np.float32(
+                        fp["detune"]._timeline.intrinsic_value)))
+                b0, b1, b2, a1, a2 = _np_coefs(
+                    fl._type, fs, f, fp["gain"]._timeline.intrinsic_value,
+                    fp["q"]._timeline.intrinsic_value)
+                h = recurrence.iir_impulse_response(
+                    [b0, b1, b2], [1.0, a1, a2])
+                spectra.append(fft_conv.partition_ir(h, self.partition)[0])
+            kmax = max(sp.shape[0] for sp in spectra)
+            stack = np.zeros((self.V, kmax, self.partition + 1), np.complex64)
+            for i, sp in enumerate(spectra):
+                stack[i, :sp.shape[0]] = sp
+            self.h_stack = stack
+            self.kparts = kmax
 
         starts, stops, ratios = [], [], []
         for o in node.sources:
@@ -374,6 +433,8 @@ class _FusedVoicesKernel:
                 res["tables"] = self.tables
         if self.has_gain:
             res["gain_const"] = self.gain_const
+        if self.has_filter:
+            res["h"] = self.h_stack
         return res
 
     def tail_frames(self):
@@ -382,7 +443,14 @@ class _FusedVoicesKernel:
         return 0 if self.all_const_freq else None
 
     def init_state(self):
-        return {"phase": jnp.zeros((self.V,), jnp.float64)}
+        st = {"phase": jnp.zeros((self.V,), jnp.float64)}
+        if self.has_filter:
+            from ..ops import fft_conv
+            fdl = fft_conv.PartitionedConvState.init(
+                self.V, self.kparts, self.partition)
+            st["fdl_spectra"] = fdl["spectra"]
+            st["fdl_tail"] = fdl["tail"]
+        return st
 
     def _full(self, const, dense_pos, dense_rows, lim, B):
         """(V, B) param matrix from per-voice constants + packed rows."""
@@ -439,12 +507,21 @@ class _FusedVoicesKernel:
             off = self._full(r["off_const"], self.off_dense,
                              params.get("offset"), self.off_lim, B)
             voices = jnp.where(mask, off, 0.0)
+            new_state = dict(state)
+            if self.has_filter:
+                from ..ops import fft_conv
+                st = {"spectra": state["fdl_spectra"],
+                      "tail": state["fdl_tail"]}
+                st, voices = fft_conv.partitioned_conv_block(
+                    st, voices.astype(jnp.float32), r["h"], self.partition)
+                new_state["fdl_spectra"] = st["spectra"]
+                new_state["fdl_tail"] = st["tail"]
             if self.has_gain:
                 gain = self._full(r["gain_const"], self.gain_dense,
                                   params.get("gain"), self.gain_lim, B)
                 voices = voices * gain
             out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
-            return state, [out]
+            return new_state, [out]
 
         if self.all_const_freq:
             computed = r["computed_const"][:, None]            # (V, 1)
@@ -486,10 +563,18 @@ class _FusedVoicesKernel:
         audible = jnp.abs(computed) < (fs / 2.0)
         voices = jnp.where(mask & audible, wave, 0.0)
 
+        new_state = {"phase": carry}
+        if self.has_filter:
+            from ..ops import fft_conv
+            st = {"spectra": state["fdl_spectra"], "tail": state["fdl_tail"]}
+            st, voices = fft_conv.partitioned_conv_block(
+                st, voices.astype(jnp.float32), r["h"], self.partition)
+            new_state["fdl_spectra"] = st["spectra"]
+            new_state["fdl_tail"] = st["tail"]
         if self.has_gain:
             gain = self._full(r["gain_const"], self.gain_dense,
                               params.get("gain"), self.gain_lim, B)
             voices = voices * gain
 
         out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
-        return {"phase": carry}, [out]
+        return new_state, [out]
