@@ -262,7 +262,7 @@ def test_fusion_random_topologies(seed):
             else:
                 o = ctx.create_oscillator(frequency=float(200 + i))
             oscs.append(o)
-            shape = rng.randint(0, 4)
+            shape = rng.randint(0, 5)
             if shape == 0:          # direct to one mix
                 o.connect(mixes[rng.randint(3)])
             elif shape == 1:        # chain through own gain
@@ -274,6 +274,14 @@ def test_fusion_random_topologies(seed):
             elif shape == 2:        # fan-out to two mixes
                 o.connect(mixes[0])
                 o.connect(mixes[1])
+            elif shape == 4:        # subtractive chain through a filter
+                f = ctx.create_biquad_filter(
+                    frequency=float(300 + rng.rand() * 3000),
+                    q=float(0.5 + rng.rand() * 6))
+                g = ctx.create_gain(gain=float(rng.rand()))
+                o.connect(f)
+                f.connect(g)
+                g.connect(mixes[rng.randint(3)])
             else:                   # gain modulates a mix's gain param
                 g = ctx.create_gain(gain=0.2)
                 o.connect(g)
