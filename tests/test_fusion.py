@@ -480,3 +480,41 @@ def test_automated_filter_chain_not_fused():
         assert all(f in cg.kernels for f in fids)
     finally:
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_fused_panned_voice_spread():
+    """osc -> gain -> stereo panner (const pan) chains fuse with per-voice
+    equal-power spread into a (2, B) bank output."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    def build():
+        fs = 48000.0
+        ctx = OfflineAudioContext(2, 2048, fs)
+        rng = np.random.RandomState(4)
+        for i in range(10):
+            o = ctx.create_oscillator(frequency=float(220 + 30 * i))
+            env = ctx.create_gain(gain=float(0.05 + 0.01 * i))
+            p = ctx.create_stereo_panner(pan=float(-1 + 2 * i / 9))
+            o.connect(env)
+            env.connect(p)
+            p.connect(ctx.destination)
+            o.start(float(rng.rand() * 0.005))
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+    ref = build().start_rendering_sync().to_array()
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        fused = build().start_rendering_sync().to_array()
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        assert len(cg.kernels) == 2  # dest + fused spread bank
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+    # spread is real: channels differ
+    assert float(np.abs(fused[0] - fused[1]).max()) > 0.01

@@ -58,6 +58,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     from ..nodes.buffer_source import AudioBufferSourceNode
     from ..nodes.biquad_filter import BiquadFilterNode
     from ..nodes.gain import GainNode
+    from ..nodes.stereo_panner import StereoPannerNode
     from ..ops.mixing import ChannelCountMode
 
     out_edges: dict = defaultdict(list)
@@ -137,17 +138,32 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
                     and gcfg.mode == ChannelCountMode.MAX):
                 gain = g
                 outs = out_edges[g]
+        # optional constant-pan stereo spread tail (poly-synth voicing);
+        # mono chains only, so the panner takes its mono equal-power path
+        pan = None
+        if (not (isinstance(kind, tuple) and kind[0] == "bufsrc")
+                and len(outs) == 1 and outs[0].param is None
+                and outs[0].dst_input == 0
+                and isinstance(nodes.get(outs[0].dst), StereoPannerNode)):
+            pcand = outs[0].dst
+            pnode = nodes[pcand]
+            if (pcand != dest_id and audio_in[pcand] == 1
+                    and (pcand, "pan") not in param_in
+                    and _const(pnode.params["pan"])
+                    and out_edges.get(pcand)):
+                pan = pcand
+                outs = out_edges[pcand]
         targets = tuple(sorted(
             (e.dst, e.dst_input, e.param or "") for e in outs))
         if not targets:
             continue
-        chains.append((nid, filt, gain, targets, kind))
+        chains.append((nid, filt, gain, pan, targets, kind))
 
     # group by (source kind / waveform type, chain shape, target signature)
     groups: dict = defaultdict(list)
-    for nid, filt, gain, targets, kind in chains:
-        groups[(kind, filt is not None, gain is not None, targets)].append(
-            (nid, filt, gain))
+    for nid, filt, gain, pan, targets, kind in chains:
+        groups[(kind, filt is not None, gain is not None, pan is not None,
+                targets)].append((nid, filt, gain, pan))
 
     # drop groups whose targets point at nodes another group removes
     # (rare: an env gain feeding another candidate's gain); iterate to a
@@ -156,14 +172,13 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     while True:
         removed = set()
         for members in live.values():
-            for nid, filt, gain in members:
+            for nid, filt, gain, pan in members:
                 removed.add(nid)
-                if filt is not None:
-                    removed.add(filt)
-                if gain is not None:
-                    removed.add(gain)
+                for extra in (filt, gain, pan):
+                    if extra is not None:
+                        removed.add(extra)
         bad = [k for k in live
-               if any(t[0] in removed for t in k[3])]
+               if any(t[0] in removed for t in k[4])]
         if not bad:
             break
         for k in bad:
@@ -175,7 +190,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     removed: set = set()
     param_alias: dict = {}
     fused_edges: list = []
-    for (kind, has_filt, has_gain, targets), members in sorted(
+    for (kind, has_filt, has_gain, has_pan, targets), members in sorted(
             live.items(), key=lambda kv: min(m[0] for m in kv[1])):
         members = sorted(members)
         fid = -(1 + min(m[0] for m in members))  # deterministic, unique
@@ -184,9 +199,11 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             [nodes[m[2]] if m[2] is not None else None for m in members],
             kind,
             filters=[nodes[m[1]] if m[1] is not None else None
+                     for m in members],
+            panners=[nodes[m[3]] if m[3] is not None else None
                      for m in members])
         nodes2[fid] = fnode
-        for i, (onid, fnid, gnid) in enumerate(members):
+        for i, (onid, fnid, gnid, pnid) in enumerate(members):
             removed.add(onid)
             if kind == "const_src":
                 param_alias[(onid, "offset")] = (fid, f"v{i}.offset")
@@ -200,6 +217,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             if gnid is not None:
                 removed.add(gnid)
                 param_alias[(gnid, "gain")] = (fid, f"v{i}.gain")
+            if pnid is not None:
+                removed.add(pnid)  # constant pan: no packed rows
         for dst, dst_input, pname in targets:
             fused_edges.append(Edge(fid, 0, dst, dst_input, pname or None))
 
@@ -221,7 +240,8 @@ class _FusedVoicesNode:
     number_of_inputs = 0
     number_of_outputs = 1
 
-    def __init__(self, fid, sources, gains, kind, filters=None):
+    def __init__(self, fid, sources, gains, kind, filters=None,
+                 panners=None):
         self.node_id = fid
         # block-size budget: the kernel materializes ~(V, B) f64 temporaries
         # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
@@ -229,6 +249,7 @@ class _FusedVoicesNode:
         self.sources = sources
         self.gains = gains
         self.filters = filters or [None] * len(sources)
+        self.panners = panners or [None] * len(sources)
         self.kind = kind  # OscillatorType, "const_src", or ("bufsrc", id)
         self._channel_config = sources[0]._channel_config
         # aliases grouped by param KIND so each group's dense rows pack
@@ -256,6 +277,8 @@ class _FusedVoicesNode:
         return {}
 
     def output_channel_count(self, input_counts):
+        if self.panners[0] is not None:
+            return [2]
         if isinstance(self.kind, tuple) and self.kind[0] == "bufsrc":
             return [self.sources[0].buffer.number_of_channels]
         return [1]
@@ -282,7 +305,19 @@ class _FusedVoicesKernel:
         self.V = len(node.sources)
         self.has_gain = node.gains[0] is not None
         self.has_filter = node.filters[0] is not None
+        self.has_pan = node.panners[0] is not None
         fs = rc.sample_rate
+        if self.has_pan:
+            # per-voice constant equal-power gains, mono input path
+            # (nodes/stereo_panner.py:31-36)
+            pans = np.asarray(
+                [np.clip(np.float32(p.params["pan"]._timeline.intrinsic_value),
+                         -1.0, 1.0) for p in node.panners], np.float32)
+            x = (pans + 1.0) * np.float32(0.5)
+            self.pan_gl = np.sin((1.0 - x) * np.float32(np.pi / 2.0)
+                                 ).astype(np.float32)
+            self.pan_gr = np.sin(x * np.float32(np.pi / 2.0)
+                                 ).astype(np.float32)
 
         if self.has_filter:
             # per-voice constant-coefficient biquads -> truncated IRs ->
@@ -435,6 +470,9 @@ class _FusedVoicesKernel:
             res["gain_const"] = self.gain_const
         if self.has_filter:
             res["h"] = self.h_stack
+        if self.has_pan:
+            res["pan_gl"] = self.pan_gl
+            res["pan_gr"] = self.pan_gr
         return res
 
     def tail_frames(self):
@@ -451,6 +489,17 @@ class _FusedVoicesKernel:
             st["fdl_spectra"] = fdl["spectra"]
             st["fdl_tail"] = fdl["tail"]
         return st
+
+    def _mixdown(self, voices, r):
+        """(V, B) voices -> (1, B) mono sum, or (2, B) per-voice
+        equal-power stereo spread when the chains end in panners."""
+        if self.has_pan:
+            left = jnp.sum(voices * r["pan_gl"][:, None], axis=0,
+                           dtype=jnp.float32)
+            right = jnp.sum(voices * r["pan_gr"][:, None], axis=0,
+                            dtype=jnp.float32)
+            return jnp.stack([left, right]).astype(jnp.float32)
+        return jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
 
     def _full(self, const, dense_pos, dense_rows, lim, B):
         """(V, B) param matrix from per-voice constants + packed rows."""
@@ -520,8 +569,7 @@ class _FusedVoicesKernel:
                 gain = self._full(r["gain_const"], self.gain_dense,
                                   params.get("gain"), self.gain_lim, B)
                 voices = voices * gain
-            out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
-            return new_state, [out]
+            return new_state, [self._mixdown(voices, r)]
 
         if self.all_const_freq:
             computed = r["computed_const"][:, None]            # (V, 1)
@@ -576,5 +624,4 @@ class _FusedVoicesKernel:
                               params.get("gain"), self.gain_lim, B)
             voices = voices * gain
 
-        out = jnp.sum(voices, axis=0, dtype=jnp.float32)[None, :]
-        return new_state, [out]
+        return new_state, [self._mixdown(voices, r)]
