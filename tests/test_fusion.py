@@ -518,3 +518,68 @@ def test_fused_panned_voice_spread():
     np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
     # spread is real: channels differ
     assert float(np.abs(fused[0] - fused[1]).max()) > 0.01
+
+
+def test_fused_waveshaper_voices():
+    """osc -> waveshaper (no oversample) -> gain chains fuse with stacked
+    per-voice curves."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    def build():
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, 2048, fs)
+        mix = ctx.create_gain(gain=0.1)
+        mix.connect(ctx.destination)
+        for i in range(8):
+            o = ctx.create_oscillator(frequency=float(200 + 40 * i))
+            ws = ctx.create_wave_shaper()
+            drive = 1.0 + i
+            ws.set_curve(np.tanh(
+                np.linspace(-drive, drive, 128)).astype(np.float32))
+            g = ctx.create_gain(gain=0.2)
+            o.connect(ws)
+            ws.connect(g)
+            g.connect(mix)
+            o.start()
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+    ref = build().start_rendering_sync().to_array()
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        fused = build().start_rendering_sync().to_array()
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        assert len(cg.kernels) == 3  # dest + mix + fused bank
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+def test_oversampled_waveshaper_not_fused():
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+    from webaudio_tpu.nodes.waveshaper import WaveShaperNode
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        ctx = OfflineAudioContext(1, 1024, 48000.0)
+        for i in range(6):
+            o = ctx.create_oscillator(frequency=440.0 + i)
+            ws = ctx.create_wave_shaper(oversample="4x")
+            ws.set_curve(np.tanh(np.linspace(-2, 2, 64)).astype(np.float32))
+            o.connect(ws)
+            ws.connect(ctx.destination)
+            o.start()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        ws_ids = [nid for nid, n in ctx._nodes.items()
+                  if isinstance(n, WaveShaperNode)]
+        assert all(w in cg.kernels for w in ws_ids)
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)

@@ -59,6 +59,7 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     from ..nodes.biquad_filter import BiquadFilterNode
     from ..nodes.gain import GainNode
     from ..nodes.stereo_panner import StereoPannerNode
+    from ..nodes.waveshaper import WaveShaperNode, OverSampleType
     from ..ops.mixing import ChannelCountMode
 
     out_edges: dict = defaultdict(list)
@@ -105,6 +106,22 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
         outs = out_edges.get(nid, [])
         if not outs or any(e.src_output != 0 for e in outs):
             continue
+        # optional waveshaper stage (no oversampling, curve set): voice
+        # distortion banks; mono sources only
+        shaper = None
+        if (not (isinstance(kind, tuple) and kind[0] == "bufsrc")
+                and len(outs) == 1 and outs[0].param is None
+                and outs[0].dst_input == 0
+                and isinstance(nodes.get(outs[0].dst), WaveShaperNode)):
+            wcand = outs[0].dst
+            wnode = nodes[wcand]
+            if (wcand != dest_id and audio_in[wcand] == 1
+                    and wnode.curve is not None
+                    and wnode.oversample == OverSampleType.NONE
+                    and wnode._channel_config.mode == ChannelCountMode.MAX
+                    and out_edges.get(wcand)):
+                shaper = wcand
+                outs = out_edges[wcand]
         # optional constant-coefficient biquad stage (subtractive-synth
         # chains; mono sources only — buffer sources keep gain-only chains)
         filt = None
@@ -157,13 +174,15 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             (e.dst, e.dst_input, e.param or "") for e in outs))
         if not targets:
             continue
-        chains.append((nid, filt, gain, pan, targets, kind))
+        chains.append((nid, shaper, filt, gain, pan, targets, kind))
 
     # group by (source kind / waveform type, chain shape, target signature)
     groups: dict = defaultdict(list)
-    for nid, filt, gain, pan, targets, kind in chains:
-        groups[(kind, filt is not None, gain is not None, pan is not None,
-                targets)].append((nid, filt, gain, pan))
+    for nid, shaper, filt, gain, pan, targets, kind in chains:
+        clen = len(nodes[shaper].curve) if shaper is not None else 0
+        groups[(kind, clen, filt is not None, gain is not None,
+                pan is not None, targets)].append(
+            (nid, shaper, filt, gain, pan))
 
     # drop groups whose targets point at nodes another group removes
     # (rare: an env gain feeding another candidate's gain); iterate to a
@@ -172,13 +191,13 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     while True:
         removed = set()
         for members in live.values():
-            for nid, filt, gain, pan in members:
+            for nid, shaper, filt, gain, pan in members:
                 removed.add(nid)
-                for extra in (filt, gain, pan):
+                for extra in (shaper, filt, gain, pan):
                     if extra is not None:
                         removed.add(extra)
         bad = [k for k in live
-               if any(t[0] in removed for t in k[4])]
+               if any(t[0] in removed for t in k[5])]
         if not bad:
             break
         for k in bad:
@@ -190,20 +209,22 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     removed: set = set()
     param_alias: dict = {}
     fused_edges: list = []
-    for (kind, has_filt, has_gain, has_pan, targets), members in sorted(
-            live.items(), key=lambda kv: min(m[0] for m in kv[1])):
+    for (kind, _clen, has_filt, has_gain, has_pan, targets), members in \
+            sorted(live.items(), key=lambda kv: min(m[0] for m in kv[1])):
         members = sorted(members)
         fid = -(1 + min(m[0] for m in members))  # deterministic, unique
         fnode = _FusedVoicesNode(
             fid, [nodes[m[0]] for m in members],
-            [nodes[m[2]] if m[2] is not None else None for m in members],
+            [nodes[m[3]] if m[3] is not None else None for m in members],
             kind,
-            filters=[nodes[m[1]] if m[1] is not None else None
+            filters=[nodes[m[2]] if m[2] is not None else None
                      for m in members],
-            panners=[nodes[m[3]] if m[3] is not None else None
+            panners=[nodes[m[4]] if m[4] is not None else None
+                     for m in members],
+            shapers=[nodes[m[1]] if m[1] is not None else None
                      for m in members])
         nodes2[fid] = fnode
-        for i, (onid, fnid, gnid, pnid) in enumerate(members):
+        for i, (onid, wnid, fnid, gnid, pnid) in enumerate(members):
             removed.add(onid)
             if kind == "const_src":
                 param_alias[(onid, "offset")] = (fid, f"v{i}.offset")
@@ -212,6 +233,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             else:
                 param_alias[(onid, "frequency")] = (fid, f"v{i}.frequency")
                 param_alias[(onid, "detune")] = (fid, f"v{i}.detune")
+            if wnid is not None:
+                removed.add(wnid)  # static curve: no packed rows
             if fnid is not None:
                 removed.add(fnid)  # constant coefs: no packed rows
             if gnid is not None:
@@ -241,7 +264,7 @@ class _FusedVoicesNode:
     number_of_outputs = 1
 
     def __init__(self, fid, sources, gains, kind, filters=None,
-                 panners=None):
+                 panners=None, shapers=None):
         self.node_id = fid
         # block-size budget: the kernel materializes ~(V, B) f64 temporaries
         # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
@@ -250,6 +273,7 @@ class _FusedVoicesNode:
         self.gains = gains
         self.filters = filters or [None] * len(sources)
         self.panners = panners or [None] * len(sources)
+        self.shapers = shapers or [None] * len(sources)
         self.kind = kind  # OscillatorType, "const_src", or ("bufsrc", id)
         self._channel_config = sources[0]._channel_config
         # aliases grouped by param KIND so each group's dense rows pack
@@ -306,7 +330,11 @@ class _FusedVoicesKernel:
         self.has_gain = node.gains[0] is not None
         self.has_filter = node.filters[0] is not None
         self.has_pan = node.panners[0] is not None
+        self.has_shaper = node.shapers[0] is not None
         fs = rc.sample_rate
+        if self.has_shaper:
+            self.curves = np.stack(
+                [np.asarray(w.curve, np.float32) for w in node.shapers])
         if self.has_pan:
             # per-voice constant equal-power gains, mono input path
             # (nodes/stereo_panner.py:31-36)
@@ -473,6 +501,8 @@ class _FusedVoicesKernel:
         if self.has_pan:
             res["pan_gl"] = self.pan_gl
             res["pan_gr"] = self.pan_gr
+        if self.has_shaper:
+            res["curves"] = self.curves
         return res
 
     def tail_frames(self):
@@ -557,6 +587,9 @@ class _FusedVoicesKernel:
                              params.get("offset"), self.off_lim, B)
             voices = jnp.where(mask, off, 0.0)
             new_state = dict(state)
+            if self.has_shaper:
+                from ..nodes.waveshaper import apply_curve
+                voices = jax.vmap(apply_curve)(r["curves"], voices)
             if self.has_filter:
                 from ..ops import fft_conv
                 st = {"spectra": state["fdl_spectra"],
@@ -612,6 +645,9 @@ class _FusedVoicesKernel:
         voices = jnp.where(mask & audible, wave, 0.0)
 
         new_state = {"phase": carry}
+        if self.has_shaper:
+            from ..nodes.waveshaper import apply_curve
+            voices = jax.vmap(apply_curve)(r["curves"], voices)
         if self.has_filter:
             from ..ops import fft_conv
             st = {"spectra": state["fdl_spectra"], "tail": state["fdl_tail"]}
