@@ -262,7 +262,7 @@ def test_fusion_random_topologies(seed):
             else:
                 o = ctx.create_oscillator(frequency=float(200 + i))
             oscs.append(o)
-            shape = rng.randint(0, 5)
+            shape = rng.randint(0, 6)
             if shape == 0:          # direct to one mix
                 o.connect(mixes[rng.randint(3)])
             elif shape == 1:        # chain through own gain
@@ -282,6 +282,15 @@ def test_fusion_random_topologies(seed):
                 o.connect(f)
                 f.connect(g)
                 g.connect(mixes[rng.randint(3)])
+            elif shape == 5:        # drive -> pan spread chain
+                ws = ctx.create_wave_shaper()
+                ws.set_curve(np.tanh(np.linspace(
+                    -2, 2, [64, 256][rng.randint(2)])).astype(np.float32))
+                p = ctx.create_stereo_panner(
+                    pan=float(rng.uniform(-1, 1)))
+                o.connect(ws)
+                ws.connect(p)
+                p.connect(mixes[rng.randint(3)])
             else:                   # gain modulates a mix's gain param
                 g = ctx.create_gain(gain=0.2)
                 o.connect(g)
