@@ -592,3 +592,82 @@ def test_oversampled_waveshaper_not_fused():
         assert all(w in cg.kernels for w in ws_ids)
     finally:
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+
+
+def test_fused_filter_bank_time_sharded():
+    """ADVICE r1 (high): a fused bank with a biquad stage carries
+    (kparts+1)*partition frames of FDL history; tail_frames()==0 gave
+    time-sharded renders cold filter state at shard boundaries."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.parallel.segments import render_time_sharded
+
+    def build():
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, int(fs * 1.0), fs)
+        mix = ctx.create_gain(gain=1.0 / 40)
+        mix.connect(ctx.destination)
+        for i in range(40):
+            o = ctx.create_oscillator(type="sawtooth",
+                                      frequency=float(80 + 37 * i))
+            f = ctx.create_biquad_filter(
+                type="lowpass", frequency=float(500 + 150 * i),
+                q=float(1 + i % 4))
+            g = ctx.create_gain(gain=0.8)
+            o.connect(f)
+            f.connect(g)
+            g.connect(mix)
+            o.start()
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    try:
+        from webaudio_tpu.graph import compiler as C
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        assert len(cg.kernels) == 3  # dest + mix + fused bank
+        seq = build().start_rendering_sync().to_array()
+        sharded = render_time_sharded(build())
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(seq).max()), 1e-9)
+    np.testing.assert_allclose(sharded, seq, atol=5e-5 * scale)
+
+
+def test_explicit_channel_panner_not_fused():
+    """ADVICE r1 (medium): a stereo panner with channel_count_mode
+    'explicit' and count 2 up-mixes the mono chain and takes the stereo
+    pan path; it must not fuse into the mono equal-power bank."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+    from webaudio_tpu.nodes.stereo_panner import StereoPannerNode
+
+    def build():
+        ctx = OfflineAudioContext(2, 2048, 48000.0)
+        for i in range(8):
+            o = ctx.create_oscillator(frequency=float(200 + 25 * i))
+            p = ctx.create_stereo_panner(pan=float(-1 + 2 * i / 7))
+            p.channel_count = 2
+            p.channel_count_mode = "explicit"
+            o.connect(p)
+            p.connect(ctx.destination)
+            o.start()
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "4"
+    try:
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        pids = [nid for nid, n in ctx._nodes.items()
+                if isinstance(n, StereoPannerNode)]
+        assert all(p in cg.kernels for p in pids)
+        fused = build().start_rendering_sync().to_array()
+        os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+        ref = build().start_rendering_sync().to_array()
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)

@@ -164,9 +164,15 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
                 and isinstance(nodes.get(outs[0].dst), StereoPannerNode)):
             pcand = outs[0].dst
             pnode = nodes[pcand]
+            pcfg = pnode._channel_config
             if (pcand != dest_id and audio_in[pcand] == 1
                     and (pcand, "pan") not in param_in
                     and _const(pnode.params["pan"])
+                    # an explicit channel count up-mixes the mono chain
+                    # and takes the stereo pan path when unfused; the
+                    # fused kernel always applies mono equal-power gains
+                    and (pcfg.mode != ChannelCountMode.EXPLICIT
+                         or pcfg.count == 1)
                     and out_edges.get(pcand)):
                 pan = pcand
                 outs = out_edges[pcand]
@@ -507,8 +513,15 @@ class _FusedVoicesKernel:
 
     def tail_frames(self):
         # closed-form phases are time-indexed; the cumsum path carries
-        # unbounded phase state (same contract as _OscillatorKernel)
-        return 0 if self.all_const_freq else None
+        # unbounded phase state (same contract as _OscillatorKernel).
+        # A fused filter stage carries (kparts+1)*partition frames of
+        # partitioned-FDL history (same contract as _BiquadLTIKernel) —
+        # without it, time-sharded shards would start with cold FDL state.
+        if not self.all_const_freq:
+            return None
+        if self.has_filter:
+            return (self.kparts + 1) * self.partition
+        return 0
 
     def init_state(self):
         st = {"phase": jnp.zeros((self.V,), jnp.float64)}

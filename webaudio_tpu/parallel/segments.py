@@ -58,8 +58,7 @@ def render_time_sharded(context, total_frames: int | None = None,
                 f"node {type(kern).__name__} (id {nid}) has "
                 f"unbounded state history; render it sequentially")
         tails[nid] = t
-    if cg.cycle_breakers or any(
-            nid for nid, _ in [(n, 0) for n in cg.muted]):
+    if cg.cycle_breakers or cg.muted:
         raise NotTimeShardableError("graphs with feedback cycles are sequential")
     halo_frames = max(tails.values(), default=0)
     halo_blocks = -(-halo_frames // B) if halo_frames else 0
