@@ -129,10 +129,12 @@ def test_compressor_reduces_gain():
 
 
 def test_compressor_lookahead_delay():
-    # output is delayed by exactly one render quantum (reference test
-    # dynamics_compressor.rs:524-562)
+    # output is delayed by ceil(fs*0.006/128) render quanta — the ~6 ms
+    # lookahead rounded up to quantum granularity, matching the reference's
+    # ring of quanta (dynamics_compressor.rs:251-254, test at :524-562)
     fs = 48000.0
-    n = 512
+    n = 1024
+    quanta = int(np.ceil(fs * 0.006 / 128))  # 3 at 48 kHz
     x = np.zeros(n, np.float32)
     x[0] = 0.01  # low level: no compression, only makeup gain & delay
     ctx, src = _ctx_with_buffer(x, fs)
@@ -141,8 +143,8 @@ def test_compressor_lookahead_delay():
     comp.connect(ctx.destination)
     src.start()
     out = ctx.start_rendering_sync().get_channel_data(0)
-    assert np.all(out[:128] == 0.0)
-    assert out[128] != 0.0
+    assert np.all(out[: quanta * 128] == 0.0)
+    assert out[quanta * 128] != 0.0
 
 
 def test_stereo_panner_hard_left_right():

@@ -574,7 +574,11 @@ class _FusedVoicesKernel:
             offset_pos = offset_eff * self.buf_rate          # (V,) static
             ratio = self.buf_rate / fs64
             n_rel = (t[None, :] - r["starts"][:, None]).astype(jnp.float64)
+            # sub-sample starts contribute |delta*rate| of elapsed duration
+            # up front (nodes/buffer_source.py, reference rs:689)
+            delta_elapsed = np.abs(delta * self.rates) * fs64  # (V,) static
             dur_ok = (n_rel * jnp.abs(r["rates"])[:, None]
+                      + jnp.asarray(delta_elapsed)[:, None]
                       < r["durations"][:, None] * fs64)
             active = mask & dur_ok
             pos = (jnp.asarray(offset_pos)[:, None]
@@ -585,8 +589,17 @@ class _FusedVoicesKernel:
             frac = (pos - floored).astype(jnp.float32)
             next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
             data = r["data"]                                  # (C, L)
-            smp = (data[:, prev_i] * (1.0 - frac)[None]
-                   + data[:, next_i] * frac[None])            # (C, V, B)
+            a = data[:, prev_i]                               # (C, V, B)
+            b = data[:, next_i]
+            # non-loop end-of-buffer rule (nodes/buffer_source.py _fetch,
+            # reference rs:795-815): zero when k~=1 / single-sample buffer,
+            # else linear extrapolation from the last two samples
+            beyond = prev_i + 1 >= self.buf_len
+            prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
+            edge = jnp.where(((frac >= 1.0 - 1e-6) | (prev_i == 0))[None],
+                             0.0, 2.0 * a - prevprev)
+            b = jnp.where(beyond[None], edge, b)
+            smp = a * (1.0 - frac)[None] + b * frac[None]     # (C, V, B)
             voices = jnp.where(valid[None], smp, 0.0)
             if self.has_gain:
                 gain = self._full(r["gain_const"], self.gain_dense,

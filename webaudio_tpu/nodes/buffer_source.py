@@ -30,6 +30,16 @@ from ..param import AudioParamDescriptor, AutomationRate
 from .scheduled_source import AudioScheduledSourceNode
 
 
+def _loop_wrap(pos, ls, le, loop_len):
+    """Wrap an unwrapped playhead into [loop_start, loop_end) with the
+    reference's `almost::equal` stickiness (audio_buffer_source.rs:694-699):
+    a read landing within relative fp-epsilon of loop_end snaps back to
+    loop_start instead of reading the (possibly nonexistent) end sample."""
+    wrapped = ls + jnp.mod(pos - ls, loop_len)
+    tol = 1.5e-8 * jnp.maximum(jnp.abs(pos), 1.0)
+    return jnp.where(le - wrapped <= tol, ls, wrapped)
+
+
 def _masked_cumsum_f64(values64, mask):
     """Exclusive masked cumsum with f32 within-quantum / f64 across-quantum
     split (see ops/oscillator.accumulate_phase)."""
@@ -134,7 +144,10 @@ class _BufferSourceKernel(Kernel):
         sched = scope.active_mask(self.start_frame, self.stop_frame)
         n_rel = (scope.t_idx - np.int32(min(self.start_frame, 2**31 - 1))
                  ).astype(jnp.float64)
-        dur_ok = n_rel * abs(rate) < self.duration * fs
+        # buffer_time_elapsed starts at |delta * rate| for a sub-sample
+        # start (reference: audio_buffer_source.rs:689)
+        delta_elapsed = abs(delta * rate) * fs
+        dur_ok = n_rel * abs(rate) + delta_elapsed < self.duration * fs
         active = sched & dur_ok
         pos = offset_pos + (rate * ratio) * n_rel
 
@@ -148,7 +161,7 @@ class _BufferSourceKernel(Kernel):
                 entered = jnp.broadcast_to(jnp.bool_(offset_pos >= ls), pos.shape)
             else:
                 entered = pos < le
-            wrapped = ls + jnp.mod(pos - ls, loop_len)
+            wrapped = _loop_wrap(pos, ls, le, loop_len)
             pos_eff = jnp.where(entered, wrapped, pos)
         else:
             pos_eff = pos
@@ -171,10 +184,11 @@ class _BufferSourceKernel(Kernel):
             else:
                 entered_end = pos_end < le
             pos_end = jnp.where(entered_end,
-                                ls + jnp.mod(pos_end - ls, loop_len), pos_end)
+                                _loop_wrap(pos_end, ls, le, loop_len),
+                                pos_end)
         new_state = {
             "buffer_time": pos_end,
-            "elapsed": end_rel * abs(rate),
+            "elapsed": end_rel * abs(rate) + delta_elapsed,
             "entered": state["entered"],
         }
         return new_state, [out]
@@ -183,11 +197,12 @@ class _BufferSourceKernel(Kernel):
         floored = jnp.floor(playhead)
         prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
         k = (playhead - floored).astype(jnp.float32)
+        beyond = prev_i + 1 >= self.buf_len
         if self.loop:
-            import math as _math
-
-            start_idx = int(_math.ceil(self.loop_start * self.buf_rate))
-            next_i = jnp.where(prev_i + 1 >= self.buf_len,
+            # end-of-buffer neighbor wraps into the loop
+            # (reference: audio_buffer_source.rs:772-795)
+            start_idx = int(math.ceil(self.loop_start * self.buf_rate))
+            next_i = jnp.where(beyond,
                                jnp.int32(min(start_idx, self.buf_len - 1)),
                                prev_i + 1)
         else:
@@ -195,6 +210,14 @@ class _BufferSourceKernel(Kernel):
         data = scope.node_resources["data"]
         a = data[:, prev_i]
         b = data[:, next_i]
+        if not self.loop:
+            # non-looping end-of-buffer (reference: rs:795-815): read 0 when
+            # k ~= 1 or the buffer has a single sample, otherwise linearly
+            # extrapolate from the last two samples (WebAudio issue #2032)
+            prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
+            edge = jnp.where(((k >= 1.0 - 1e-6) | (prev_i == 0))[None, :],
+                             0.0, 2.0 * a - prevprev)
+            b = jnp.where(beyond[None, :], edge, b)
         out = a * (1.0 - k) + b * k
         return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
 
@@ -236,9 +259,12 @@ class _BufferSourceKernel(Kernel):
 
         # elapsed duration limit: masked |rate| cumsum (in context samples),
         # monotone, so the mask is simply elapsed < duration*fs
-        # (reference: :652-667)
+        # (reference: :652-667); a sub-sample start contributes
+        # |delta * rate| up front (reference: :689)
         excl_abs, total_abs = _masked_cumsum_f64(jnp.abs(rate), sched)
-        elapsed = state["elapsed"] + excl_abs
+        delta_elapsed = jnp.where(in_this_block,
+                                  jnp.abs(delta * rate_n0) * fs, 0.0)
+        elapsed = state["elapsed"] + delta_elapsed + excl_abs
         dur_ok = elapsed < self.duration * fs
         active = sched & dur_ok
 
@@ -260,7 +286,7 @@ class _BufferSourceKernel(Kernel):
             cond = jnp.where(started_before < le, pos >= ls, pos < le)
             entered = state["entered"] | (jnp.cumsum(
                 (cond & active).astype(jnp.int32)) > 0)
-            wrapped = ls + jnp.mod(pos - ls, loop_len)
+            wrapped = _loop_wrap(pos, ls, le, loop_len)
             pos_eff = jnp.where(entered, wrapped, pos)
             entered_carry = entered[-1]
         else:
@@ -268,31 +294,11 @@ class _BufferSourceKernel(Kernel):
             entered_carry = state["entered"]
 
         valid = active & (pos_eff >= 0.0) & (pos_eff < L)
-
-        playhead = pos_eff
-        floored = jnp.floor(playhead)
-        prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
-        k = (playhead - floored).astype(jnp.float32)
-        if self.loop:
-            # end-of-buffer neighbor wraps into the loop
-            # (reference: audio_buffer_source.rs:772-800)
-            start_idx = int(math.ceil(self.loop_start * self.buf_rate))
-            end_idx = int(self.loop_end * self.buf_rate)
-            next_i = jnp.where(prev_i + 1 >= self.buf_len,
-                               jnp.int32(min(start_idx, self.buf_len - 1)),
-                               prev_i + 1)
-        else:
-            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
-
-        data = scope.node_resources["data"]
-        a = data[:, prev_i]  # (C, B)
-        b = data[:, next_i]
-        out = a * (1.0 - k) + b * k
-        out = jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
+        out = self._fetch(scope, pos_eff, valid)
 
         new_state = {
             "buffer_time": pos0 + total,      # in buffer samples
-            "elapsed": state["elapsed"] + total_abs,
+            "elapsed": state["elapsed"] + delta_elapsed + total_abs,
             "entered": entered_carry,
         }
         return new_state, [out]

@@ -54,14 +54,19 @@ class _DelayKernel(Kernel):
     # --- reader (reference: delay.rs:516-688) ---------------------------
     def process_reader(self, scope, state, params):
         ring = state["ring"]
-        delay = params["delay_time"]  # () or (B,) seconds, clamped to max
+        # () or (B,) seconds, clamped to max.  All playhead math is f64, as
+        # in the reference (delay.rs:688-706): an f32 clamp of the quantum
+        # duration would put the read position ~1e-6 samples off an exact
+        # integer delay and leak interpolation error into sample-accurate
+        # echoes (delay.rs test_min_delay_when_in_loop asserts abs <= 0).
+        delay = params["delay_time"].astype(jnp.float64)
         if self.in_cycle:
             quantum_duration = RENDER_QUANTUM_SIZE / self.sample_rate
             delay = jnp.maximum(delay, quantum_duration)
         # continuous global read position per sample: t - delay*fs.
         if delay.ndim == 0:
             # scalar delay: f64 only on the scalar, vector math stays int/f32
-            num = delay.astype(jnp.float64) * self.sample_rate
+            num = delay * self.sample_rate
             n_int = jnp.floor(num)
             k0 = (num - n_int).astype(jnp.float32)          # fractional part
             prev_i = scope.t_idx - n_int.astype(jnp.int32) - 1

@@ -37,13 +37,18 @@ class _CompressorKernel(Kernel):
     def __init__(self, channels: int, sample_rate: float):
         self.channels = channels
         self.sample_rate = sample_rate
+        # ~6 ms lookahead realised as whole render quanta, exactly like the
+        # reference's ring of ceil(fs*0.006/128)+1 quanta read one slot
+        # behind the write head (dynamics_compressor.rs:251-254, 452-459):
+        # the effective delay is ceil(fs*0.006/128) quanta.
+        q = RENDER_QUANTUM_SIZE
+        self.delay_frames = int(np.ceil(sample_rate * 0.006 / q)) * q
 
     def init_state(self):
-        q = RENDER_QUANTUM_SIZE
         return {
             "detector": jnp.zeros((), jnp.float32),
-            # one-quantum lookahead delay line (reference: :452-459)
-            "delay": jnp.zeros((self.channels, q), jnp.float32),
+            "delay": jnp.zeros((self.channels, self.delay_frames),
+                               jnp.float32),
             "reduction": jnp.zeros((), jnp.float32),
         }
 

@@ -59,7 +59,19 @@ class AudioScheduledSourceNode(AudioNode):
         """(first active frame, first inactive frame), host-side exact."""
         inf = 2**31 - 1
         start = inf if math.isinf(self._start_time) else \
-            int(math.ceil(self._start_time * sample_rate))
+            _time_to_frame(self._start_time, sample_rate)
         stop = inf if math.isinf(self._stop_time) else \
-            int(math.ceil(self._stop_time * sample_rate))
+            _time_to_frame(self._stop_time, sample_rate)
         return start, stop
+
+
+def _time_to_frame(t: float, sample_rate: float) -> int:
+    """ceil(t*fs) with the reference's sticky sample-grid snap
+    (audio_buffer_source.rs:651-653): a time within relative fp-epsilon of
+    an exact sample boundary counts as on the boundary, so `k/fs`-style
+    schedules never leak into the next frame (WPT sub-sample-scheduling)."""
+    f = t * sample_rate
+    r = round(f)
+    if abs(f - r) <= 1.5e-8 * max(abs(f), 1.0):
+        f = r
+    return int(math.ceil(f))
