@@ -71,9 +71,24 @@ def decode_audio_data(source) -> AudioBuffer:
     if kind == "aiff":
         arr, rate = _read_aiff(data)
         return AudioBuffer.from_array(arr, rate)
-    raise NotSupportedError(
-        f"decoding '{kind}' streams requires a codec library not present in "
-        f"this build; supported: WAV (PCM/float), AIFF, FLAC")
+    # compressed codecs (mp3, ogg/vorbis, aac/m4a, alac, webm/opus, ...)
+    # go through the native codec host (wacodec.cpp over the system FFmpeg
+    # libraries) — the C++ equivalent of the reference's symphonia probe
+    # (/root/reference/src/decoding.rs:15-54)
+    from ..native import codec_decode_native
+    try:
+        res = codec_decode_native(data)
+    except ValueError as e:
+        raise NotSupportedError(f"decoding '{kind}' stream failed: {e}")
+    if res is None:
+        raise NotSupportedError(
+            f"decoding '{kind}' streams requires the native codec host "
+            f"(libwacodec.so over libavformat), which is unavailable here; "
+            f"always supported: WAV (PCM/float/G.711/ADPCM), AIFF, FLAC")
+    arr, rate = res
+    if arr.shape[1] == 0:
+        raise NotSupportedError(f"'{kind}' stream contains no audio frames")
+    return AudioBuffer.from_array(arr, rate)
 
 
 def _read_aiff(data: bytes) -> tuple[np.ndarray, float]:

@@ -139,3 +139,84 @@ def flac_decode_native(data: bytes):
     if total.value and n != total.value:
         return None  # truncated / corrupt stream
     return out[:, :n].copy() if n != cap else out, float(rate.value)
+
+
+# --- compressed-codec host (wacodec.cpp over system FFmpeg libs) -----------
+# The native analog of the reference's symphonia dependency
+# (/root/reference/src/decoding.rs:15-54): mp3, ogg/vorbis, aac/m4a, alac,
+# webm/opus and anything else libavformat demuxes.  Built as a separate
+# shared object so the core wahost library never depends on libav.
+
+_CODEC_SRC = os.path.join(_HERE, "wacodec.cpp")
+_CODEC_LIB = os.path.join(_HERE, "libwacodec.so")
+_codec_lib = None
+_codec_unavailable = False
+
+
+def _build_codec() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", _CODEC_SRC, "-o", _CODEC_LIB,
+             "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+            check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def get_codec_lib():
+    """Load (building if needed) the codec host, or None if libav is not
+    present on this machine."""
+    global _codec_lib, _codec_unavailable
+    with _lock:
+        if _codec_lib is not None or _codec_unavailable:
+            return _codec_lib
+        if not os.path.exists(_CODEC_LIB) or \
+                os.path.getmtime(_CODEC_LIB) < os.path.getmtime(_CODEC_SRC):
+            if not _build_codec():
+                _codec_unavailable = True
+                return None
+        try:
+            lib = ctypes.CDLL(_CODEC_LIB)
+        except OSError:
+            _codec_unavailable = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
+        lib.wac_decode.argtypes = [
+            u8p, ctypes.c_uint64, f32pp,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p, ctypes.c_int]
+        lib.wac_decode.restype = ctypes.c_int
+        lib.wac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.wac_free.restype = None
+        _codec_lib = lib
+        return _codec_lib
+
+
+def codec_decode_native(data: bytes):
+    """Decode any libav-supported compressed stream.
+
+    -> ((channels, frames) f32, sample_rate) on success,
+       None if the codec host is unavailable,
+       or raises ValueError with the decoder's message on a bad stream."""
+    lib = get_codec_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_float)()
+    ch = ctypes.c_uint32()
+    rate = ctypes.c_uint32()
+    frames = ctypes.c_uint64()
+    err = ctypes.create_string_buffer(256)
+    rc = lib.wac_decode(buf, len(data), ctypes.byref(out), ctypes.byref(ch),
+                        ctypes.byref(rate), ctypes.byref(frames), err, 256)
+    if rc != 0:
+        raise ValueError(err.value.decode("utf-8", "replace") or
+                         f"decode failed (rc={rc})")
+    try:
+        arr = np.ctypeslib.as_array(
+            out, shape=(ch.value, frames.value)).copy()
+    finally:
+        lib.wac_free(out)
+    return arr, float(rate.value)
