@@ -92,3 +92,141 @@ def test_hrtf_crossfade_smooths_motion():
     # without the crossfade the boundary jumps are ~5x the within-quantum
     # ones; with it they sit at parity
     assert boundary.max() < 2.0 * within.max()
+
+
+# ---------------------------------------------------------------------------
+# Numeric oracles (round-2): raw-sphere nearest-HRIR comparison at vertex
+# directions + exactness of the FDL/crossfade machinery against a direct
+# numpy convolution with the engine's own interpolated IR.
+# ---------------------------------------------------------------------------
+
+def _parse_sphere_raw():
+    """Independent minimal parser of IRC_1003_C.bin (HRIR magic, u32 rate,
+    u32 ir_len, u32 n_vert, u32 n_idx, faces, then per-vertex xyz + L + R),
+    kept separate from nodes/hrtf.py so the test is not self-referential."""
+    import struct
+    from webaudio_tpu.nodes.hrtf import HRIR_PATH
+
+    data = open(HRIR_PATH, "rb").read()
+    assert data[:4] == b"HRIR"
+    rate, ir_len, n_vert, n_idx = struct.unpack_from("<IIII", data, 4)
+    off = 20 + 4 * n_idx
+    stride = 3 + 2 * ir_len
+    verts = np.frombuffer(data, dtype="<f4", count=n_vert * stride,
+                          offset=off).reshape(n_vert, stride)
+    return (float(rate), verts[:, :3].copy(),
+            verts[:, 3:3 + ir_len].copy(), verts[:, 3 + ir_len:].copy())
+
+
+def _render_at_direction(direction, x, fs):
+    """direction is in *sphere space* (az 0 -> +z); with the default
+    listener (forward = -z) the node position mapping onto it is
+    (dx, dy, -dz), at distance 1 == ref_distance so distance gain is 1."""
+    n = len(x)
+    ctx = OfflineAudioContext(2, n, fs)
+    buf = ctx.create_buffer(1, n, fs)
+    buf.copy_to_channel(x.astype(np.float32), 0)
+    bs = ctx.create_buffer_source()
+    bs.buffer = buf
+    p = ctx.create_panner(panning_model="HRTF",
+                          position_x=float(direction[0]),
+                          position_y=float(direction[1]),
+                          position_z=float(-direction[2]))
+    bs.connect(p)
+    p.connect(ctx.destination)
+    bs.start()
+    return np.asarray(ctx.start_rendering_sync().to_array())
+
+
+def test_hrtf_matches_raw_vertex_hrir():
+    """At a vertex direction the engine output must match plain numpy
+    convolution with that vertex's raw HRIRs (nearest-HRIR oracle, the
+    hrtf-crate behavior the reference wraps at panner.rs:39-69).  The baked
+    ~1.4deg direction grid mixes in a few percent of the neighboring
+    vertices, hence the tolerance."""
+    rate, positions, left, right = _parse_sphere_raw()
+    fs = rate  # context at sphere rate: no IR resampling in the loader
+    rng = np.random.RandomState(7)
+    x = rng.randn(4096).astype(np.float32) * 0.3
+
+    # a handful of well-spread vertices (skip poles where az is degenerate)
+    for vid in (5, 40, 90, 150):
+        d = positions[vid] / np.linalg.norm(positions[vid])
+        out = _render_at_direction(d, x, fs)
+        ref_l = np.convolve(x, left[vid])[: len(x)]
+        ref_r = np.convolve(x, right[vid])[: len(x)]
+        # skip the first quantum (documented fade-in from front/gain-0)
+        seg = slice(128, len(x))
+        for ch, ref in ((0, ref_l), (1, ref_r)):
+            a, b = out[ch][seg], ref[seg]
+            denom = np.sqrt((a * a).sum() * (b * b).sum())
+            corr = float((a * b).sum() / max(denom, 1e-12))
+            rel = float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+            assert corr > 0.98, (vid, ch, corr)
+            assert rel < 0.2, (vid, ch, rel)
+
+
+def test_hrtf_fdl_machinery_is_exact():
+    """The per-quantum FDL + crossfade pipeline must equal direct numpy
+    convolution with the engine's own barycentric-interpolated IR to
+    float32 accuracy — isolates the convolution machinery from the
+    interpolation-weight approximation."""
+    from webaudio_tpu.nodes.hrtf import (bake_direction_grid,
+                                         load_hrir_sphere)
+
+    fs = 44100.0
+    positions, faces, spectra, K = load_hrir_sphere(fs)
+    vids_grid, w_grid, az_bins, el_bins = bake_direction_grid(fs)
+
+    d = np.array([0.6, 0.25, 0.76])
+    d /= np.linalg.norm(d)
+    az = np.arctan2(d[0], d[2])
+    el = np.arcsin(d[1])
+    az_i = min(max(int((az / (2 * np.pi) + 0.5) * az_bins), 0), az_bins - 1)
+    el_i = min(max(int((el / np.pi + 0.5) * el_bins), 0), el_bins - 1)
+    vids = vids_grid[az_i, el_i]
+    w = w_grid[az_i, el_i]
+
+    # reconstruct the interpolated time-domain IR from the staged spectra
+    # (irfft of each partition, first half), then overlap-add
+    part = np.fft.irfft(spectra[vids], axis=-1)[..., :128]  # (3,2,K,128)
+    ir = np.einsum("v,vekp->ekp", w, part).reshape(2, -1)   # (2, K*128)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(4096).astype(np.float32) * 0.5
+    out = _render_at_direction(d, x, fs)
+    seg = slice(128, 4096)
+    for ch in range(2):
+        ref = np.convolve(x, ir[ch])[:4096]
+        np.testing.assert_allclose(out[ch][seg], ref[seg], atol=2e-4,
+                                   err_msg=f"channel {ch}")
+
+
+def test_hrtf_interpolates_smoothly_between_vertices():
+    """Sweeping the azimuth must change the response continuously: the
+    rendered tone has no per-quantum discontinuities (crossfade) and the
+    response at the midpoint direction lies between the vertex responses."""
+    fs = 44100.0
+    n = 8192
+    t = np.arange(n) / fs
+    tone = (0.5 * np.sin(2 * np.pi * 500.0 * t)).astype(np.float32)
+
+    ctx = OfflineAudioContext(2, n, fs)
+    buf = ctx.create_buffer(1, n, fs)
+    buf.copy_to_channel(tone, 0)
+    bs = ctx.create_buffer_source()
+    bs.buffer = buf
+    p = ctx.create_panner(panning_model="HRTF", position_z=1.0)
+    p.position_x.set_value_at_time(-1.0, 0.0)
+    p.position_x.linear_ramp_to_value_at_time(1.0, n / fs)
+    bs.connect(p)
+    p.connect(ctx.destination)
+    bs.start()
+    out = np.asarray(ctx.start_rendering_sync().to_array())
+
+    assert np.isfinite(out).all()
+    # discontinuity metric: largest sample-to-sample jump after the fade-in,
+    # bounded by a few times the tone's own max slope
+    max_slope = 0.5 * 2 * np.pi * 500.0 / fs
+    jumps = np.abs(np.diff(out[:, 256:], axis=1)).max()
+    assert jumps < 6 * max_slope, jumps
