@@ -25,6 +25,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SAMPLES = "/root/reference/samples"
 
 
+# nominal single-chip peaks for the roofline fractions (TPU v5e / v5 lite:
+# ~819 GB/s HBM, ~197 TFLOP/s bf16 MXU — audio DSP is f32/VPU-heavy, so
+# `mfu` is expected to be tiny and `bw_frac` is the meaningful number)
+_PEAKS = {"tpu": (819e9, 197e12), "axon": (819e9, 197e12)}
+
+
+def _cost_analysis(cg, length):
+    """XLA's own (flops, bytes-accessed) estimate of the compiled render."""
+    from webaudio_tpu.graph import compiler as C
+
+    try:
+        comp = cg.jit_scan.lower(*C.render_args(cg, length)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _roofline_fields(flops, nbytes, wall):
+    import jax
+
+    fields = {}
+    if wall > 0 and (flops or nbytes):
+        fields["gflops_per_s"] = round(flops / wall / 1e9, 2)
+        fields["gbytes_per_s"] = round(nbytes / wall / 1e9, 2)
+        platform = jax.devices()[0].platform
+        peaks = _PEAKS.get(platform)
+        if peaks:
+            peak_bw, peak_flops = peaks
+            fields["bw_frac"] = round(nbytes / wall / peak_bw, 4)
+            fields["mfu"] = round(flops / wall / peak_flops, 6)
+    return fields
+
+
 def _measure(ctx, seconds, runs=5):
     from webaudio_tpu.graph import compiler as C
 
@@ -39,7 +76,8 @@ def _measure(ctx, seconds, runs=5):
         out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
         out.block_until_ready()
     wall = (time.perf_counter() - t0) / runs
-    return seconds / wall, compile_s
+    flops, nbytes = _cost_analysis(cg, ctx.length)
+    return seconds / wall, compile_s, _roofline_fields(flops, nbytes, wall)
 
 
 def case_buffer_biquad():
@@ -194,13 +232,21 @@ def case_batched_graphs(batch=256):
 
     out = gb.render()
     out.block_until_ready()  # compile + run
+    np.asarray(out)          # warm the device->host path for this shape
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         out = gb.render()
         out.block_until_ready()
     wall = (time.perf_counter() - t0) / runs
-    return batch * seconds / wall, batch / wall
+    # end-to-end: render + full host readback of the (batch, 2, n) block
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        host = np.asarray(gb.render())
+    wall_e2e = (time.perf_counter() - t0) / runs
+    assert np.isfinite(host).all() and np.abs(host).max() > 0.0
+    return (batch * seconds / wall, batch / wall,
+            batch * seconds / wall_e2e)
 
 
 def case_stereo_pan_automation():
@@ -316,17 +362,19 @@ def main():
     for name in names:
         try:
             if name == "batched_graphs":
-                rtf, gps = case_batched_graphs()
+                rtf, gps, rtf_e2e = case_batched_graphs()
                 print(json.dumps({
                     "case": name, "metric": "batched_realtime_factor",
                     "value": round(rtf, 1), "graphs_per_second": round(gps, 2),
+                    "value_end_to_end": round(rtf_e2e, 1),
                 }), flush=True)
                 continue
             ctx, seconds = CASES[name]()
-            rtf, compile_s = _measure(ctx, seconds)
+            rtf, compile_s, roofline = _measure(ctx, seconds)
             print(json.dumps({
                 "case": name, "metric": "offline_render_realtime_factor",
                 "value": round(rtf, 1), "compile_seconds": round(compile_s, 1),
+                **roofline,
             }), flush=True)
         except Exception as exc:
             print(json.dumps({"case": name, "error": str(exc)[:200]}),

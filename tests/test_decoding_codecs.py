@@ -140,3 +140,17 @@ def test_garbage_stream_raises():
     from webaudio_tpu.constants import NotSupportedError
     with pytest.raises(NotSupportedError):
         decode_audio_data(b"\xff\xfb" + os.urandom(64))
+
+
+@needs_samples
+def test_sequential_mixed_decodes_one_process():
+    """Regression: decoding many formats back-to-back in one process used
+    to corrupt the heap (swr_convert needs av_samples_alloc-padded output
+    planes; an exact-size buffer trampled allocator metadata)."""
+    names = ["sample.flac", "sample.mp3", "sample.ogg", "sample-aac.m4a",
+             "sample-alac.m4a", "sample.webm", "white.ogg", "siren.mp3"]
+    for _ in range(3):
+        for name in names:
+            buf = _decode(name)
+            assert buf.length > 0
+            assert np.isfinite(buf.get_channel_data(0)).all()

@@ -481,6 +481,16 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     host-side after transfer.  (Slicing on device would create a second XLA
     program per length, and remote-compile latency on tunneled TPU backends
     is tens of seconds per program.)"""
+    args = render_args(cg, total_frames, start_frame, init_states)
+    final_states, out = cg.jit_scan(*args)
+    return out, final_states
+
+
+def render_args(cg: CompiledGraph, total_frames: int, start_frame: int = 0,
+                init_states: Optional[dict] = None):
+    """Stage (init_states, frame0s, xs_params, resources) for cg.jit_scan —
+    the exact argument tuple render_compiled dispatches with (also used by
+    benches/suite.py to lower the same computation for XLA cost analysis)."""
     B = cg.block_frames
     padded = _pad_len(total_frames, B)
     nb = padded // B
@@ -506,6 +516,4 @@ def render_compiled(cg: CompiledGraph, nodes: dict, total_frames: int,
     if cg.resource_cache is None:
         cg.resource_cache = jax.tree_util.tree_map(
             jnp.asarray, collect_resources(cg))
-    final_states, out = cg.jit_scan(init_states, frame0s, xs_params,
-                                    cg.resource_cache)
-    return out, final_states
+    return init_states, frame0s, xs_params, cg.resource_cache

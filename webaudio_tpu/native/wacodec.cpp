@@ -79,8 +79,14 @@ struct DecodeCtx {
     SwrContext* swr = nullptr;
     AVFrame* frame = nullptr;
     AVPacket* pkt = nullptr;
+    uint8_t** sw_data = nullptr;   // av_samples_alloc'd planar f32 planes
+    int sw_capacity = 0;
 
     ~DecodeCtx() {
+        if (sw_data) {
+            av_freep(&sw_data[0]);
+            av_freep(&sw_data);
+        }
         if (pkt) av_packet_free(&pkt);
         if (frame) av_frame_free(&frame);
         if (swr) swr_free(&swr);
@@ -180,23 +186,38 @@ int wac_decode(const uint8_t* data, uint64_t size, float** out,
         for (auto& v : pcm) v.reserve(static_cast<size_t>(est));
     }
 
-    std::vector<float*> planes(nch);
-    std::vector<float> tmp;
     auto drain_frame = [&](AVFrame* f) -> int {
         int max_out = swr_get_out_samples(c.swr, f ? f->nb_samples : 0);
         if (max_out <= 0) return 0;
-        tmp.resize(static_cast<size_t>(max_out) * nch);
-        for (int ch = 0; ch < nch; ++ch)
-            planes[ch] = tmp.data() + static_cast<size_t>(ch) * max_out;
+        // output planes must be av_samples_alloc'd: swresample writes in
+        // SIMD-sized blocks and assumes ffmpeg's buffer padding/alignment
+        if (max_out > c.sw_capacity) {
+            if (c.sw_data) {
+                av_freep(&c.sw_data[0]);
+                av_freep(&c.sw_data);
+            }
+            int linesize = 0;
+            int cap = max_out * 2 + 1024;
+            if (av_samples_alloc_array_and_samples(
+                    &c.sw_data, &linesize, nch, cap,
+                    AV_SAMPLE_FMT_FLTP, 0) < 0) {
+                c.sw_data = nullptr;
+                c.sw_capacity = 0;
+                return AVERROR(ENOMEM);
+            }
+            c.sw_capacity = cap;
+        }
         int got = swr_convert(
-            c.swr, reinterpret_cast<uint8_t**>(planes.data()), max_out,
+            c.swr, c.sw_data, c.sw_capacity,
             f ? const_cast<const uint8_t**>(
                     reinterpret_cast<uint8_t**>(f->extended_data))
               : nullptr,
             f ? f->nb_samples : 0);
         if (got < 0) return got;
-        for (int ch = 0; ch < nch; ++ch)
-            pcm[ch].insert(pcm[ch].end(), planes[ch], planes[ch] + got);
+        for (int ch = 0; ch < nch; ++ch) {
+            const float* p = reinterpret_cast<const float*>(c.sw_data[ch]);
+            pcm[ch].insert(pcm[ch].end(), p, p + got);
+        }
         return got;
     };
 
