@@ -234,3 +234,69 @@ def test_analyser_readback_in_suspend_callback():
     ctx.suspend_sync(2048 / fs, cb)
     ctx.start_rendering_sync()
     assert abs(seen["peak_hz"] - 3000.0) < fs / 1024 * 1.5
+
+
+def test_const_delay_cycle_runs_large_blocks_bit_exact():
+    """WEBAUDIO_CYCLE_BLOCKS=auto: a feedback cycle through a CONSTANT
+    delay of d frames may legally render blocks up to d-1 frames (every
+    in-cycle read lands in carried ring state); output must be
+    bit-identical to the default one-quantum stepping."""
+    import os
+    import numpy as np
+    from webaudio_tpu.graph import compiler as C
+
+    os.environ["WEBAUDIO_CYCLE_BLOCKS"] = "auto"
+    try:
+        _run_cycle_block_check()
+    finally:
+        os.environ.pop("WEBAUDIO_CYCLE_BLOCKS", None)
+
+
+def _run_cycle_block_check():
+    import numpy as np
+    from webaudio_tpu.graph import compiler as C
+
+    fs = 48000.0
+
+    def build(automated=False):
+        ctx = OfflineAudioContext(2, int(fs * 1.0), fs)
+        n = int(fs * 0.05)
+        b = ctx.create_buffer(1, n, fs)
+        b.copy_to_channel(
+            (np.random.RandomState(0).randn(n)
+             * np.exp(-np.arange(n) / 500)).astype(np.float32), 0)
+        s = ctx.create_buffer_source()
+        s.buffer = b
+        d = ctx.create_delay(1.0)
+        d.delay_time.value = 0.2
+        if automated:
+            d.delay_time.linear_ramp_to_value_at_time(0.3, 0.5)
+        fb = ctx.create_gain(gain=0.5)
+        s.connect(ctx.destination)
+        s.connect(d)
+        d.connect(fb)
+        fb.connect(d)
+        fb.connect(ctx.destination)
+        s.start()
+        return ctx
+
+    ctx = build()
+    cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
+                         ctx.length, ctx._destination.node_id)
+    assert cg.block_frames > 128  # the optimization engaged
+
+    fast = build().start_rendering_sync().to_array()
+    ctx2 = build()
+    cg2 = C.compile_graph(dict(ctx2._nodes), list(ctx2._edges),
+                          ctx2.sample_rate, ctx2.length,
+                          ctx2._destination.node_id, quanta_per_block=1)
+    out2, _ = C.render_compiled(cg2, ctx2._nodes, ctx2.length)
+    ref = np.asarray(out2)[:, : ctx2.length]
+    np.testing.assert_array_equal(fast, ref)
+
+    # an automated delay pins the cycle back to one-quantum stepping
+    ctx3 = build(automated=True)
+    cg3 = C.compile_graph(dict(ctx3._nodes), list(ctx3._edges),
+                          ctx3.sample_rate, ctx3.length,
+                          ctx3._destination.node_id)
+    assert cg3.block_frames == 128
