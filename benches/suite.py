@@ -232,13 +232,25 @@ def case_batched_graphs(batch=256):
 
     out = gb.render()
     out.block_until_ready()  # compile + run
-    np.asarray(out)          # warm the device->host path for this shape
+    # warm the device->host path for this shape: the tunneled axon backend
+    # pays a one-time per-shape transfer setup and its FIRST attempts can
+    # fail UNIMPLEMENTED while the path warms up
+    warmed = False
+    for attempt in range(6):
+        try:
+            np.asarray(out)
+            warmed = True
+            break
+        except Exception:
+            time.sleep(min(5.0 * (attempt + 1), 30.0))
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         out = gb.render()
         out.block_until_ready()
     wall = (time.perf_counter() - t0) / runs
+    if not warmed:
+        return batch * seconds / wall, batch / wall, None
     # end-to-end: render + full host readback of the (batch, 2, n) block
     t0 = time.perf_counter()
     for _ in range(runs):
@@ -366,7 +378,8 @@ def main():
                 print(json.dumps({
                     "case": name, "metric": "batched_realtime_factor",
                     "value": round(rtf, 1), "graphs_per_second": round(gps, 2),
-                    "value_end_to_end": round(rtf_e2e, 1),
+                    "value_end_to_end":
+                        None if rtf_e2e is None else round(rtf_e2e, 1),
                 }), flush=True)
                 continue
             ctx, seconds = CASES[name]()
