@@ -53,54 +53,51 @@ def main():
     cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
                          ctx.length, ctx._destination.node_id)
 
-    # warmup: stage params/buffers + compile (remote compile on tunneled
-    # backends takes tens of seconds, once)
-    out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
-    out.block_until_ready()
-
-    # median over runs: dispatch over the tunneled backend is jittery at
-    # the ~1 ms scale, and the mean is dominated by stragglers
-    runs = 20
-    times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    wall = sorted(times)[len(times) // 2]
-
-    # Validity gate (always on): reduce on-device to one scalar and read
-    # that back — a full-buffer readback on the tunneled axon backend pays
-    # a minutes-scale one-time per-shape setup, but a () scalar is cheap.
-    # NaN propagates through max, so one probe covers silence and NaN.
-    # The axon backend's FIRST transfer of a shape can fail UNIMPLEMENTED
-    # while its transfer path warms up, so retry with backoff; a transfer
-    # that never succeeds degrades to a warning (it is an environment
-    # failure, not an audio-validity failure).
+    # Timing methodology: on the tunneled axon backend block_until_ready()
+    # returns at ENQUEUE, not completion, so timing with it measures RPC
+    # dispatch latency rather than compute.  The reliable fence is a
+    # dependent on-device scalar reduction read back to the host: the
+    # device executes dispatches in order, so forcing the last render's
+    # probe bounds all of them.  The probe doubles as the validity gate
+    # (NaN propagates through max; silence reads 0).
     import jax
     import jax.numpy as jnp
 
-    peak_dev = jax.jit(lambda o: jnp.max(jnp.abs(o)))(out)
-    peak_dev.block_until_ready()
-    peak = None
-    for attempt in range(10):
-        try:
-            peak = float(peak_dev)
-            break
-        except Exception:
-            time.sleep(min(2.0 * (attempt + 1), 20.0))
-    if peak is None:
-        print("WARNING: validity probe transfer failed repeatedly; "
-              "skipping output check", file=sys.stderr)
-    else:
-        assert np.isfinite(peak), "bench graph rendered NaN/Inf"
-        assert peak > 0.0, "bench graph rendered silence"
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+
+    def force(make_scalar, retries=10):
+        # transfers can fail UNIMPLEMENTED while the tunnel's transfer
+        # path warms up or while heavy work is queued, and the failure is
+        # sticky on the poisoned array — every retry must re-dispatch a
+        # fresh probe
+        for attempt in range(retries):
+            try:
+                return float(make_scalar())
+            except Exception:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(min(2.0 * (attempt + 1), 20.0))
+
+    # warmup: stage params/buffers + compile (remote compile on tunneled
+    # backends takes tens of seconds, once) + validity gate
+    out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+    peak = force(lambda: probe(out))
+    assert np.isfinite(peak), "bench graph rendered NaN/Inf"
+    assert peak > 0.0, "bench graph rendered silence"
+
+    # steady-state throughput: pipeline the renders, fence once at the end
+    runs = 10
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+    force(lambda: probe(out))
+    wall = (time.perf_counter() - t0) / runs
 
     # Optional full-buffer validation (heavy on tunneled backends)
     if os.environ.get("WEBAUDIO_BENCH_VALIDATE"):
-        probe = np.asarray(out)
-        assert probe.shape[0] == 2 and np.isfinite(probe).all()
-        assert np.abs(probe).max() > 0.0, "bench graph rendered silence"
+        full = np.asarray(out)
+        assert full.shape[0] == 2 and np.isfinite(full).all()
+        assert np.abs(full).max() > 0.0, "bench graph rendered silence"
 
     value = seconds / wall
     print(json.dumps({

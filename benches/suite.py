@@ -62,19 +62,45 @@ def _roofline_fields(flops, nbytes, wall):
     return fields
 
 
+def _force(make_scalar, retries=8):
+    """Force completion of all device work enqueued so far.
+
+    On the tunneled axon backend `block_until_ready()` returns at ENQUEUE
+    time, not completion — timing with it measures dispatch latency, not
+    compute.  A dependent scalar readback is the only reliable fence: the
+    device executes dispatches in order, so reading back a scalar that
+    depends on the last render forces everything before it.  Readbacks can
+    fail UNIMPLEMENTED while the transfer path warms up and the failure is
+    sticky on that array, so every retry re-dispatches a fresh probe (pass
+    a thunk)."""
+    for attempt in range(retries):
+        try:
+            return float(make_scalar())
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            time.sleep(min(2.0 * (attempt + 1), 15.0))
+
+
 def _measure(ctx, seconds, runs=5):
+    import jax
+    import jax.numpy as jnp
     from webaudio_tpu.graph import compiler as C
 
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
                          ctx.length, ctx._destination.node_id)
     t0 = time.perf_counter()
     out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
-    out.block_until_ready()
+    peak = _force(lambda: probe(out))
     compile_s = time.perf_counter() - t0
+    assert np.isfinite(peak) and peak > 0.0, f"invalid render (peak={peak})"
+    # throughput: pipeline `runs` renders, fence once at the end (the
+    # device stream is in-order, so the final probe bounds them all)
     t0 = time.perf_counter()
     for _ in range(runs):
         out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
-        out.block_until_ready()
+    _force(lambda: probe(out))
     wall = (time.perf_counter() - t0) / runs
     flops, nbytes = _cost_analysis(cg, ctx.length)
     return seconds / wall, compile_s, _roofline_fields(flops, nbytes, wall)
@@ -230,8 +256,12 @@ def case_batched_graphs(batch=256):
     base = np.geomspace(200.0, 8000.0, ctx.length, dtype=np.float32)
     gb.override_param(f, "frequency", sweeps[:, None] * base[None, :])
 
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     out = gb.render()
-    out.block_until_ready()  # compile + run
+    _force(lambda: probe(out))  # compile + run + fence
     # warm the device->host path for this shape: the tunneled axon backend
     # pays a one-time per-shape transfer setup and its FIRST attempts can
     # fail UNIMPLEMENTED while the path warms up
@@ -247,7 +277,7 @@ def case_batched_graphs(batch=256):
     t0 = time.perf_counter()
     for _ in range(runs):
         out = gb.render()
-        out.block_until_ready()
+    _force(lambda: probe(out))
     wall = (time.perf_counter() - t0) / runs
     if not warmed:
         return batch * seconds / wall, batch / wall, None

@@ -16,12 +16,39 @@ import json
 import numpy as np
 
 
+def _to_host(x):
+    """Device->host transfer that never moves complex arrays directly
+    (complex transfers are UNIMPLEMENTED on tunneled TPU backends): split
+    to real/imag on device, transfer floats, recombine host-side."""
+    if hasattr(x, "dtype") and np.issubdtype(x.dtype, np.complexfloating) \
+            and not isinstance(x, np.ndarray):
+        import jax.numpy as jnp
+
+        re = np.asarray(jnp.real(x))
+        im = np.asarray(jnp.imag(x))
+        return (re + 1j * im).astype(x.dtype)
+    return np.asarray(x)
+
+
+def _to_device(x):
+    """Host->device upload that never moves complex arrays directly."""
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.asarray(x)
+    if np.iscomplexobj(arr):
+        return jax.jit(jax.lax.complex)(
+            jnp.asarray(np.ascontiguousarray(arr.real)),
+            jnp.asarray(np.ascontiguousarray(arr.imag)))
+    return jnp.asarray(arr)
+
+
 def save_states(path: str, states: dict, frame: int, meta: dict | None = None):
     """Serialize a state pytree (dict-of-dicts of arrays) + frame cursor."""
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten(states)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": _to_host(x) for i, x in enumerate(leaves)}
     header = {
         "frame": int(frame),
         "treedef": str(treedef),
@@ -46,10 +73,8 @@ def load_states(path: str, template_states: dict):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, graph expects "
             f"{len(tmpl_leaves)} — was the graph changed?")
-    import jax.numpy as jnp
-
     states = jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(x) for x in leaves])
+        treedef, [_to_device(x) for x in leaves])
     return states, header["frame"]
 
 
@@ -120,8 +145,8 @@ class RenderSession:
             rows[i] = plan.dense
         xs = jnp.asarray(rows.reshape(-1, nb, B).transpose(1, 0, 2))
         if self._resources is None:
-            self._resources = jax.tree_util.tree_map(
-                jnp.asarray, self._C.collect_resources(cg))
+            self._resources = self._C.stage_resources(
+                self._C.collect_resources(cg))
         frame0s = jnp.asarray(self._frame + np.arange(nb, dtype=np.int32) * B)
         self._states, out = cg.jit_scan(self._states, frame0s, xs,
                                         self._resources)

@@ -255,8 +255,8 @@ class AudioContext(BaseAudioContext):
             xs = jnp.asarray(rows[None])  # (nb=1, P, B)
 
         if getattr(self, "_resources", None) is None:
-            self._resources = jax.tree_util.tree_map(
-                jnp.asarray, _compiler.collect_resources(cg))
+            self._resources = _compiler.stage_resources(
+                _compiler.collect_resources(cg))
 
         frame0s = jnp.asarray(np.array([self._frame], np.int32))
         states, out = cg.jit_scan(self._states, frame0s, xs, self._resources)

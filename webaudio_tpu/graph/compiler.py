@@ -462,6 +462,33 @@ def collect_resources(cg: CompiledGraph) -> dict:
     return out
 
 
+_complexify = None
+
+
+def _stage_leaf(x):
+    """Upload one resource leaf to the device.
+
+    Complex leaves (FFT spectra: biquad/convolver FDLs, HRTF) are uploaded
+    as real/imag float pairs and combined on-device: the tunneled axon
+    backend does not support complex host->device transfers (UNIMPLEMENTED),
+    and float-pair staging is portable everywhere else."""
+    arr = np.asarray(x)
+    if np.iscomplexobj(arr):
+        global _complexify
+        if _complexify is None:
+            _complexify = jax.jit(lambda r, i: jax.lax.complex(r, i))
+        re = jnp.asarray(np.ascontiguousarray(arr.real))
+        im = jnp.asarray(np.ascontiguousarray(arr.imag))
+        return _complexify(re, im)
+    return jnp.asarray(x)
+
+
+def stage_resources(tree):
+    """Device-stage a resource pytree (the complex-safe tree_map(jnp.asarray)
+    replacement — use this instead of staging resources directly)."""
+    return jax.tree_util.tree_map(_stage_leaf, tree)
+
+
 def _k(nid: int) -> str:
     return f"n{nid}"
 
@@ -575,6 +602,5 @@ def render_args(cg: CompiledGraph, total_frames: int, start_frame: int = 0,
         init_states = {_k(nid): k.init_state() for nid, k in cg.kernels.items()}
 
     if cg.resource_cache is None:
-        cg.resource_cache = jax.tree_util.tree_map(
-            jnp.asarray, collect_resources(cg))
+        cg.resource_cache = stage_resources(collect_resources(cg))
     return init_states, frame0s, xs_params, cg.resource_cache

@@ -143,16 +143,18 @@ class HrtfPannerKernel(Kernel):
         return (self.K + 1) * PARTITION
 
     def init_state(self):
+        from ..ops.fft_conv import complex_zeros
+
         P = PARTITION
         return {
-            "xspec": jnp.zeros((self.K - 1, P + 1), jnp.complex64),
+            "xspec": complex_zeros((self.K - 1, P + 1)),
             "tail": jnp.zeros((P,), jnp.float32),
             # previous quantum's interpolated HRIR spectrum + distance gain
             # for the per-quantum crossfade (the hrtf crate carries
             # prev_sample_vector / prev_distance_gain; panner.rs:215-271).
             # `started` gates the very first quantum onto the crate's
             # initial state: front direction (0,0,1), gain 0 (fade-in).
-            "h_prev": jnp.zeros((2, self.K, P + 1), jnp.complex64),
+            "h_prev": complex_zeros((2, self.K, P + 1)),
             "g_prev": jnp.zeros((), jnp.float32),
             "started": jnp.zeros((), jnp.bool_),
         }

@@ -48,6 +48,14 @@ def partition_ir(ir: np.ndarray, partition: int = DEFAULT_PARTITION) -> np.ndarr
     return np.fft.rfft(z, axis=-1).astype(np.complex64)
 
 
+def complex_zeros(shape) -> jnp.ndarray:
+    """Eagerly-created complex64 zeros WITHOUT a complex literal: eager
+    `jnp.zeros(..., complex64)` uploads a complex scalar constant, which is
+    UNIMPLEMENTED on tunneled TPU backends; converting f32 zeros on device
+    sidesteps the transfer."""
+    return jnp.zeros(shape, jnp.float32).astype(jnp.complex64)
+
+
 class PartitionedConvState:
     """Functional state pytree helpers."""
 
@@ -55,8 +63,8 @@ class PartitionedConvState:
     def init(channels: int, k_partitions: int, partition: int):
         P = partition
         return {
-            "spectra": jnp.zeros((channels, max(k_partitions - 1, 0), P + 1),
-                                 jnp.complex64),
+            "spectra": complex_zeros(
+                (channels, max(k_partitions - 1, 0), P + 1)),
             "tail": jnp.zeros((channels, P), jnp.float32),
         }
 

@@ -149,7 +149,7 @@ class GraphBatch:
         if getattr(self, "_staged", None) is not None:
             return self._staged
         xs = jnp.asarray(self._xs)
-        res = jax.tree_util.tree_map(jnp.asarray, self._resources)
+        res = _compiler.stage_resources(self._resources)
         states = self._states
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("graphs"))

@@ -89,8 +89,7 @@ def render_time_sharded(context, total_frames: int | None = None,
             else:
                 xs[d, j] = packed[:, f0:f0 + B]
 
-    resources = jax.tree_util.tree_map(
-        jnp.asarray, _compiler.collect_resources(cg))
+    resources = _compiler.stage_resources(_compiler.collect_resources(cg))
     init_states = {_compiler._k(nid): k.init_state()
                    for nid, k in cg.kernels.items()}
 
