@@ -302,3 +302,37 @@ def test_listener_param_audio_input_ordering():
     out = ctx.start_rendering_sync().to_array()
     # listener far right of the source -> image hard left
     assert out[0, 64] > out[1, 64] * 5
+
+
+def test_detector_fixed_point_matches_sequential():
+    """The TPU detector (branch-pattern fixed point + associative scan,
+    dynamics_compressor._detector_fixed_point) must match the reference's
+    per-sample recurrence; the maps are continuous at their breakpoints so
+    the iteration converges to the exact forward solution (differences are
+    f32-sequential rounding, bounded ~3e-5 relative over fuzz)."""
+    import jax.numpy as jnp
+    from webaudio_tpu.nodes.dynamics_compressor import (
+        _detector_fixed_point, _detector_sequential)
+
+    rng = np.random.RandomState(7)
+    fs = 44100.0
+    for kind in range(6):
+        B = [128, 1000, 4096, 20000, 48000, 513][kind]
+        if kind % 3 == 0:
+            x = np.abs(rng.randn(B)).astype(np.float32) * 30
+        elif kind % 3 == 1:
+            x = np.zeros(B, np.float32)
+            x[B // 4: B // 2] = 25.0
+        else:
+            t = np.arange(B)
+            x = (20 * np.abs(np.sin(2 * np.pi * t / 997))
+                 + rng.randn(B)).astype(np.float32)
+        a = np.float32(np.exp(-1 / (rng.uniform(0.0005, 0.05) * fs)))
+        r = np.float32(np.exp(-1 / (rng.uniform(0.01, 1.0) * fs)))
+        at = jnp.full((B,), a)
+        rt = jnp.full((B,), r)
+        y0 = jnp.float32(rng.uniform(0, 10))
+        ref = np.asarray(_detector_sequential(y0, jnp.asarray(x), at, rt))
+        fp = np.asarray(_detector_fixed_point(y0, jnp.asarray(x), at, rt))
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(ref - fp).max() / scale < 1e-4, (kind, B)

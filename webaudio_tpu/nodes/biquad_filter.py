@@ -221,6 +221,9 @@ class _BiquadARateKernel(Kernel):
 
 
 class BiquadFilterNode(AudioNode):
+    # block-size hint: partitioned-FFT kernels want blocks that are
+    # multiples of 8 quanta (full 1024-sample partitions)
+    wants_pow2_partitions = True
     _number_of_inputs = 1
     _number_of_outputs = 1
 

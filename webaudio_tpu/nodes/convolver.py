@@ -120,6 +120,9 @@ class _ConvolverKernel(Kernel):
 
 
 class ConvolverNode(AudioNode):
+    # block-size hint: partitioned-FFT kernels want blocks that are
+    # multiples of 8 quanta (full 1024-sample partitions)
+    wants_pow2_partitions = True
     _number_of_inputs = 1
     _number_of_outputs = 1
 
