@@ -671,3 +671,58 @@ def test_explicit_channel_panner_not_fused():
         os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
     scale = max(float(np.abs(ref).max()), 1e-9)
     np.testing.assert_allclose(fused, ref, atol=2e-5 * scale)
+
+
+def test_grain_lane_packing_matches_vb_path():
+    """Lane-packed grain rendering (K concurrency lanes instead of (V, B))
+    must match the dense path: per-quantum grain resolution + rebased f32
+    playheads reproduce the masked sum within f32 noise."""
+    from webaudio_tpu import OfflineAudioContext
+    from webaudio_tpu.graph import compiler as C
+
+    fs = 44100.0
+
+    def build():
+        ctx = OfflineAudioContext(2, int(fs * 2.0), fs)
+        n = 8000
+        sample = ctx.create_buffer(1, n, fs)
+        sample.copy_to_channel(
+            (np.random.RandomState(0).randn(n) * 0.3).astype(np.float32), 0)
+        rng = np.random.RandomState(5)
+        for i in range(64):
+            when = i * 1.8 / 64 + rng.rand() * 0.004
+            src = ctx.create_buffer_source(
+                playback_rate=float(0.8 + 0.4 * rng.rand()))
+            src.buffer = sample
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.0, when)
+            env.gain.linear_ramp_to_value_at_time(0.5, when + 0.01)
+            env.gain.linear_ramp_to_value_at_time(0.0, when + 0.02)
+            src.connect(env)
+            env.connect(ctx.destination)
+            src.start(when, float(rng.rand() * 0.1), 0.02)
+        return ctx
+
+    os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+    os.environ["WEBAUDIO_GRAIN_LANES"] = "1"
+    try:
+        ctx = build()
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        kern = [k for k in cg.kernels.values()
+                if type(k).__name__ == "_FusedVoicesKernel"][0]
+        assert kern.use_lanes and kern.K < kern.V / 4
+        lanes = build().start_rendering_sync().to_array()
+        os.environ["WEBAUDIO_GRAIN_LANES"] = "0"
+        dense = build().start_rendering_sync().to_array()
+        os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "0"
+        unfused = build().start_rendering_sync().to_array()
+    finally:
+        os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+        os.environ.pop("WEBAUDIO_GRAIN_LANES", None)
+    # the rebased f32 within-quantum playhead carries ~1e-5-sample jitter,
+    # which on white-noise-like grains maps to ~1e-4-relative amplitude
+    scale = max(float(np.abs(unfused).max()), 1e-9)
+    np.testing.assert_allclose(lanes, dense, atol=1e-4 * scale)
+    np.testing.assert_allclose(lanes, unfused, atol=1e-4 * scale)

@@ -415,6 +415,7 @@ class _FusedVoicesKernel:
             self.start_times = np.asarray(
                 [0.0 if o._start_time is None else float(o._start_time)
                  for o in node.sources], np.float64)
+            self._pack_grain_lanes(fs)
 
         plans = rc.param_plans
 
@@ -467,6 +468,110 @@ class _FusedVoicesKernel:
             self.computed_const = (
                 f * np.exp2(d / np.float32(1200.0))).astype(np.float32)
 
+    def _pack_grain_lanes(self, fs):
+        """Pack time-localized grains into K << V concurrency lanes.
+
+        The naive (V, B) grain bank issues 2*V*B HBM gathers per block —
+        ~600 Melem/s on v5e makes a 400-grain cloud GATHER-bound (the
+        honest granular bench ran at 7x realtime).  Grains are short and
+        sequential, so the peak overlap is tiny (~4 of 400): greedy
+        interval partitioning (optimal for interval graphs) assigns each
+        grain to a lane, and the kernel renders (K, B) instead of (V, B) —
+        a ~V/K reduction in gathered samples.  Requires a conservative
+        UPPER bound on each grain's audible end (buffer exit, duration
+        cap, stop time); unbounded voices keep a dedicated lane."""
+        import os
+
+        V = self.V
+        ratio = self.buf_rate / fs
+        INF = 2**31 - 1
+        offset_pos = np.zeros(V, np.float64)
+        delta_el = np.zeros(V, np.float64)
+        ends = np.zeros(V, np.int64)
+        for i in range(V):
+            start = int(self.starts[i])
+            if start >= INF:
+                offset_pos[i] = 0.0
+                ends[i] = start
+                continue
+            delta = start / fs - self.start_times[i]
+            off_eff = min(max(self.offsets[i] + delta * self.rates[i], 0.0),
+                          self.buf_duration)
+            offset_pos[i] = off_eff * self.buf_rate
+            delta_el[i] = abs(delta * self.rates[i]) * fs
+            cand = [float(self.stops[i])]
+            r_ = self.rates[i] * ratio  # buffer samples per frame
+            if r_ > 0:
+                cand.append(start + (self.buf_len - offset_pos[i]) / r_ + 2)
+            elif r_ < 0:
+                cand.append(start + offset_pos[i] / (-r_) + 2)
+            if np.isfinite(self.durations[i]) and abs(self.rates[i]) > 0:
+                cand.append(start + (self.durations[i] * fs - delta_el[i])
+                            / abs(self.rates[i]) + 2)
+            ends[i] = int(min(min(cand), INF))
+        self.offset_pos = offset_pos
+        self.delta_elapsed = delta_el
+
+        # duration cutoff frame per voice, computed to match the per-sample
+        # f64 comparison `n_rel*|rate| + delta_el < dur*fs` exactly (probe
+        # the three candidate frames around the analytic boundary)
+        dur_end = np.full(V, INF, np.int64)
+        for i in range(V):
+            if not np.isfinite(self.durations[i]) or self.rates[i] == 0.0:
+                continue
+            rhs = (self.durations[i] * fs - delta_el[i]) / abs(self.rates[i])
+            k0 = int(np.floor(rhs))
+            cut = k0 + 2
+            for kk in (max(k0 - 1, 0), k0, k0 + 1):
+                if not (kk * abs(self.rates[i]) + delta_el[i]
+                        < self.durations[i] * fs):
+                    cut = kk
+                    break
+            dur_end[i] = min(int(self.starts[i]) + cut, INF)
+        self.dur_end = dur_end.astype(np.int32)
+
+        order = np.argsort(self.starts, kind="stable")
+        lane_end: list = []
+        lane_last_start: list = []
+        lanes: list = []
+        for i in order:
+            s, e = int(self.starts[i]), int(ends[i])
+            for k in range(len(lane_end)):
+                # the second condition keeps starts >= one quantum apart
+                # within a lane, so a quantum sees at most one grain switch
+                # (the kernel's per-quantum gid + one correction relies on it)
+                if lane_end[k] <= s and s - lane_last_start[k] >= 128:
+                    lanes[k].append(int(i))
+                    lane_end[k] = e
+                    lane_last_start[k] = s
+                    break
+            else:
+                lanes.append([int(i)])
+                lane_end.append(e)
+                lane_last_start.append(s)
+        K = len(lanes)
+        # extreme playback rates would overflow the lane path's i32
+        # playhead rebase (the dense (V, B) path stays f64 end-to-end)
+        sane_rates = float(np.max(np.abs(self.rates))) * ratio <= 64.0
+        self.use_lanes = (K * 4 <= V and sane_rates
+                          and os.environ.get("WEBAUDIO_GRAIN_LANES", "1")
+                          != "0")
+        if not self.use_lanes:
+            return
+        G = max(len(m) for m in lanes)
+        lane_start = np.full((K, G), INF, np.int32)
+        lane_endv = np.zeros((K, G), np.int32)
+        lane_voice = np.zeros((K, G), np.int32)
+        for k, members in enumerate(lanes):
+            for j, i in enumerate(members):
+                lane_start[k, j] = self.starts[i]
+                lane_endv[k, j] = min(int(ends[i]), INF)
+                lane_voice[k, j] = i
+        self.lane_start = lane_start
+        self.lane_end = lane_endv
+        self.lane_voice = lane_voice
+        self.K = K
+
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
         from xs_params in one op instead of 3V gathers)."""
@@ -490,6 +595,17 @@ class _FusedVoicesKernel:
             res["rates"] = self.rates
             res["offsets"] = self.offsets
             res["durations"] = self.durations
+            if self.use_lanes:
+                res["offset_pos"] = self.offset_pos
+                res["dur_end"] = self.dur_end
+                res["lane_start"] = self.lane_start
+                res["lane_voice"] = self.lane_voice
+                if self.has_gain:
+                    # voice -> dense gain-row slot (-1 = constant gain)
+                    lut = np.full(self.V, -1, np.int32)
+                    for j, vv in enumerate(self.gain_dense):
+                        lut[int(vv)] = j
+                    res["gain_row"] = lut
         elif self.is_const_src:
             res["off_const"] = self.off_const
         else:
@@ -533,6 +649,125 @@ class _FusedVoicesKernel:
             st["fdl_tail"] = fdl["tail"]
         return st
 
+    def _process_grain_lanes(self, scope, state, params):
+        """Lane-packed grain rendering: (K, B) work instead of (V, B).
+
+        Cost structure on TPU (honest fenced measurements): per-voice f64
+        playhead math and HBM gathers dominate, so
+        - the grain id is resolved per QUANTUM (searchsorted on (K, nq))
+          plus one per-sample comparison — valid because lane packing
+          keeps starts >= one quantum apart within a lane;
+        - all per-voice scalars are gathered at TWO per-quantum candidates
+          (the quantum-end grain and its predecessor) and selected per
+          sample, instead of (K, B) gathers;
+        - the playhead runs f64 only at quantum granularity (K, nq) and
+          f32 within the quantum as (integer base, fractional offset) —
+          within-quantum f32 error is <= B_q * rate * 2^-24 ~ 1e-5 samples.
+        Output matches the (V, B) path to f32 summation order."""
+        import jax
+        from ..constants import RENDER_QUANTUM_SIZE as Q
+
+        r = scope.node_resources
+        fs = float(self.fs)
+        B = scope.frames
+        nq = B // Q
+        t = scope.t_idx                                       # (B,) i32
+        K, G = self.lane_start.shape
+        ratio = self.buf_rate / fs
+        L = self.buf_len
+
+        tq = t.reshape(nq, Q)                                 # (nq, Q)
+        t_end = tq[:, -1]                                     # (nq,)
+        gid_hi = jax.vmap(
+            lambda s: jnp.searchsorted(s, t_end, side="right") - 1
+        )(r["lane_start"])                                    # (K, nq)
+
+        krow = jnp.arange(K)[:, None]
+
+        def variant(gid):
+            """Gather all per-voice/grain scalars for one gid candidate."""
+            ok = gid >= 0
+            gc = jnp.clip(gid, 0, G - 1)
+            gstart = r["lane_start"][krow, gc]                # (K, nq) i32
+            v = r["lane_voice"][krow, gc]
+            startv = r["starts"][v]
+            stopv = jnp.minimum(r["stops"][v], r["dur_end"][v])
+            rate64 = r["rates"][v] * ratio                    # f64 (K, nq)
+            # f64 playhead at the quantum's first sample, split into
+            # integer sample + f32 fraction
+            n0 = (tq[None, :, 0] - startv).astype(jnp.float64)
+            pos0 = r["offset_pos"][v] + rate64 * n0
+            base_i = jnp.floor(pos0)
+            base_f = (pos0 - base_i).astype(jnp.float32)
+            fields = {
+                "ok": ok, "gstart": gstart, "startv": startv,
+                "stopv": stopv, "base_i": base_i.astype(jnp.int32),
+                "base_f": base_f, "rate32": rate64.astype(jnp.float32),
+                "v": v,
+            }
+            if self.has_gain:
+                fields["grow"] = r["gain_row"][v]
+                fields["gconst"] = r["gain_const"][v]
+            return fields
+
+        hi = variant(gid_hi)
+        lo = variant(gid_hi - 1)
+
+        # per-sample: the quantum-end grain applies from its start sample
+        # on; before that, the predecessor (packing guarantees at most one
+        # switch per quantum per lane)
+        use_hi = tq[None] >= hi["gstart"][..., None]          # (K, nq, Q)
+
+        def sel(name):
+            a, b = hi[name], lo[name]
+            return jnp.where(use_hi, a[..., None], b[..., None])
+
+        ok = sel("ok")
+        startv = sel("startv")
+        stopv = sel("stopv")
+        base_i = sel("base_i")
+        base_f = sel("base_f")
+        rate32 = sel("rate32")
+
+        tkb = tq[None]                                        # (1, nq, Q)
+        sched = ok & (tkb >= startv) & (tkb < stopv)
+        j = jnp.arange(Q, dtype=jnp.float32)                  # within-quantum
+        delta = base_f + rate32 * j[None, None, :]            # (K, nq, Q) f32
+        dfloor = jnp.floor(delta)
+        idx = base_i + dfloor.astype(jnp.int32)               # sample index
+        frac = delta - dfloor
+        valid = sched & (idx >= 0) & (idx <= L - 1)
+
+        prev_i = jnp.clip(idx, 0, L - 1).reshape(K, B)
+        fr = frac.reshape(K, B)
+        beyond = prev_i + 1 >= L
+        next_i = jnp.minimum(prev_i + 1, L - 1)
+        data = r["data"]                                      # (C, L)
+        a = data[:, prev_i]                                   # (C, K, B)
+        b = data[:, next_i]
+        prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
+        edge = jnp.where(((fr >= 1.0 - 1e-6) | (prev_i == 0))[None],
+                         0.0, 2.0 * a - prevprev)
+        b = jnp.where(beyond[None], edge, b)
+        smp = a * (1.0 - fr)[None] + b * fr[None]
+        voices = jnp.where(valid.reshape(K, B)[None], smp, 0.0)
+
+        if self.has_gain:
+            grow = sel("grow").reshape(K, B)
+            gconst = sel("gconst").reshape(K, B)
+            if len(self.gain_dense):
+                rows = params.get("gain")                     # (D, B)
+                col = jnp.arange(B)[None, :]
+                dense = jnp.clip(rows[jnp.clip(grow, 0, rows.shape[0] - 1),
+                                      col],
+                                 self.gain_lim[0], self.gain_lim[1])
+                g = jnp.where(grow >= 0, dense, gconst)
+            else:
+                g = gconst
+            voices = voices * g[None]
+        out = jnp.sum(voices, axis=1, dtype=jnp.float32)      # (C, B)
+        return state, [out]
+
     def _mixdown(self, voices, r):
         """(V, B) voices -> (1, B) mono sum, or (2, B) per-voice
         equal-power stereo spread when the chains end in panners."""
@@ -561,6 +796,9 @@ class _FusedVoicesKernel:
         t = scope.t_idx                                        # (B,) i32
         mask = (t[None, :] >= r["starts"][:, None]) & (
             t[None, :] < r["stops"][:, None])                  # (V, B)
+
+        if self.is_bufsrc and self.use_lanes:
+            return self._process_grain_lanes(scope, state, params)
 
         if self.is_bufsrc:
             # vectorized constant-rate closed-form playhead
