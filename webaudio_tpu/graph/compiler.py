@@ -242,9 +242,11 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         pow2_only = any(getattr(n, "block_constraint", lambda: None)() == "pow2"
                         for n in nodes.values())
         # partitioned-FFT kernels (biquad/IIR truncated IR, convolver) want
-        # the block to be a multiple of 8 quanta, which unlocks their full
-        # 1024-sample partition (choose_partition); a 125-quanta divisor
-        # block degrades them to 128-sample partitions (~8x more MACs)
+        # blocks with a LARGE power-of-two factor: their partition is the
+        # block's largest pow2 divisor (choose_partition), and per-sample
+        # MAC cost scales with ir_len/partition.  A 125-quanta divisor
+        # block degrades them to 128-sample partitions (~128x more MACs
+        # than a padded 128-quanta block's 16384 partition).
         wants_pow2 = any(getattr(n, "wants_pow2_partitions", False)
                          for n in nodes.values())
         for d in range(min(max_qpb, total_quanta), 0, -1):
@@ -256,11 +258,23 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
                     break
                 if not wants_pow2:
                     break
-        if wants_pow2 and qpb % 8:
-            if best8 >= 24:
-                qpb = best8
-            elif total_quanta > DEFAULT_QUANTA_PER_BLOCK:
-                qpb = DEFAULT_QUANTA_PER_BLOCK
+        if wants_pow2:
+            # pick the candidate with the largest usable partition, then
+            # the fewest scan steps; non-divisors pad the render tail
+            from ..ops.fft_conv import MAX_PARTITION
+
+            cap = min(max_qpb, max(total_quanta, 1))
+            cands = {qpb, 1 << (cap.bit_length() - 1)}
+            if best8:
+                cands.add(best8)
+            if total_quanta > DEFAULT_QUANTA_PER_BLOCK:
+                cands.add(DEFAULT_QUANTA_PER_BLOCK)
+
+            def _score(q):
+                bf = q * RENDER_QUANTUM_SIZE
+                return (min(bf & -bf, MAX_PARTITION), q)
+
+            qpb = max(cands, key=_score)
         if qpb < 24 and total_quanta > DEFAULT_QUANTA_PER_BLOCK:
             qpb = DEFAULT_QUANTA_PER_BLOCK
     block_frames = qpb * RENDER_QUANTUM_SIZE
@@ -565,9 +579,14 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
             qpb = d
             break
     if (qpb < 24 or qpb % 8) and cap >= 24:
-        # no good divisor: accept block padding; prefer a multiple of 8
-        # quanta so partitioned-FFT kernels get their full 1024 partition
-        if pow2_only:
+        # no good divisor: accept block padding.  With partitioned-FFT
+        # kernels in the graph prefer the largest power of two <= cap (the
+        # partition is the block's largest pow2 divisor, so e.g. a
+        # 104-quanta block caps partitions at 512 while a 64-quanta block
+        # gets 8192); otherwise just take the largest multiple of 8.
+        wants_pow2 = any(getattr(n, "wants_pow2_partitions", False)
+                         for n in nodes.values())
+        if pow2_only or wants_pow2:
             qpb = 1 << (cap.bit_length() - 1)
         else:
             qpb = max(cap - cap % 8, qpb)

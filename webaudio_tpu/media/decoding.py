@@ -2,11 +2,13 @@
 
 reference: src/decoding.rs (symphonia probe over wav/mp3/ogg/flac/aac/...).
 This build decodes WAV and AIFF (numpy, plus the optional C++ wahost
-fast path) and FLAC (native wahost decoder, wahost.cpp:wah_flac_decode);
-the remaining compressed codecs probe by magic and raise
-NotSupportedError with a clear message (codec libraries are not available
-in this environment — the architecture keeps decode host-side feeding
-device buffers either way, per SURVEY.md §2.1).
+fast path) and FLAC (native wahost decoder, wahost.cpp:wah_flac_decode)
+natively; every other container/codec (mp3, ogg-vorbis, aac/m4a, alac,
+webm-opus, caf, ...) routes through the native codec host
+(wacodec.cpp over the system FFmpeg libraries — the C++ analog of the
+reference's symphonia probe).  Decode is host-side feeding device
+buffers either way, per SURVEY.md §2.1; on a machine without
+libavformat the compressed formats raise NotSupportedError.
 """
 
 from __future__ import annotations

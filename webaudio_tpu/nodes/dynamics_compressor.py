@@ -39,7 +39,7 @@ def _detector_sequential(y0, x, at, rt):
     return ys
 
 
-def _detector_fixed_point(y0, x, at, rt, max_iters=24):
+def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
     """Branch-pattern fixed-point detector — the TPU formulation.
 
     y[n] = tau_n * y[n-1] + (1 - tau_n) * x[n], with tau_n chosen by
@@ -51,11 +51,16 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24):
     the result by O(eps) only.  Each iteration is O(B log B) parallel work
     instead of B sequential scalar steps: ~40x faster at 480k samples on
     v5e, fuzz-validated against the sequential oracle.
+
+    The scan runs in f32 by default (2e-5 relative vs the f32 sequential
+    oracle at B=16k — the composition error grows ~eps*log2(B); TPU f64 is
+    software-emulated and ~1.6x slower end to end).  Set
+    WEBAUDIO_DETECTOR=fp64 for the f64 scan.
     """
-    x64 = x.astype(jnp.float64)
-    at64 = at.astype(jnp.float64)
-    rt64 = rt.astype(jnp.float64)
-    y064 = y0.astype(jnp.float64)
+    x64 = x.astype(dtype)
+    at64 = at.astype(dtype)
+    rt64 = rt.astype(dtype)
+    y064 = y0.astype(dtype)
 
     def solve(tau):
         # associative composition of y -> tau*y + (1-tau)*x
@@ -96,8 +101,11 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24):
 def _detector(y0, x, at, rt):
     import os
 
-    if os.environ.get("WEBAUDIO_DETECTOR", "auto") == "seq":
+    mode = os.environ.get("WEBAUDIO_DETECTOR", "auto")
+    if mode == "seq":
         return _detector_sequential(y0, x, at, rt)
+    if mode == "fp64":
+        return _detector_fixed_point(y0, x, at, rt, dtype=jnp.float64)
     return _detector_fixed_point(y0, x, at, rt)
 
 
