@@ -21,5 +21,5 @@ el.current_time = 2.0          # seek
 time.sleep(0.2)
 el.pause()
 print(f"paused at t={el.current_time:.2f}s, duration {el.duration:.2f}s")
-ctx.close()
+ctx.close().result()
 print("AudioContext state:", ctx.state)

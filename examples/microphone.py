@@ -33,7 +33,7 @@ while True:
     if c is None:
         break
     chunks.append(c.to_array())
-ctx.close()
+ctx.close().result()
 
 if chunks:
     cap = np.concatenate(chunks, axis=1)

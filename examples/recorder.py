@@ -22,7 +22,7 @@ rec.set_ondataavailable(lambda ev: blobs.append(ev.blob))
 rec.start()
 time.sleep(0.7)
 rec.stop()
-ctx.close()
+ctx.close().result()
 
 data = b"".join(blobs)
 path = "/tmp/recorded.wav"

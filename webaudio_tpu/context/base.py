@@ -163,9 +163,14 @@ class BaseAudioContext:
         buf.resample(self._sample_rate)
         return buf
 
-    # alias mirroring the async API
-    def decode_audio_data(self, input) -> AudioBuffer:
-        return self.decode_audio_data_sync(input)
+    def decode_audio_data(self, input):
+        """Promise-style variant (reference: base.rs:68-103 async):
+        returns a `concurrent.futures.Future[AudioBuffer]` decoded on the
+        shared pool — `.result()` to block, `asyncio.wrap_future` to
+        await."""
+        from ..futures import submit
+
+        return submit(self.decode_audio_data_sync, input)
 
     def create_periodic_wave(self, real=None, imag=None,
                              disable_normalization: bool = False):

@@ -146,9 +146,46 @@ class OfflineAudioContext(BaseAudioContext):
         self._dispatch_event("complete", buffer)
         return buffer
 
-    # async-style alias
-    def start_rendering(self) -> AudioBuffer:
-        return self.start_rendering_sync()
+    # --- promise-style variants (reference: offline.rs:198-251, 394) -------
+    def start_rendering(self):
+        """Async variant: render on the shared pool and return a
+        `concurrent.futures.Future[AudioBuffer]` (reference:
+        offline.rs:198-230).  Compose with `suspend(t)`/`resume()` from
+        another thread (or an event loop via `asyncio.wrap_future`)."""
+        from ..futures import submit
+
+        return submit(self.start_rendering_sync)
+
+    def suspend(self, suspend_time: float):
+        """Async suspend (reference: offline.rs:241-251): returns a Future
+        that resolves once rendering reaches `suspend_time` and the
+        context is suspended; rendering stays paused until `resume()`.
+        Requires the render to run off-thread (`start_rendering()`)."""
+        import concurrent.futures
+        import threading
+
+        reached: concurrent.futures.Future = concurrent.futures.Future()
+        gate = threading.Event()
+
+        def cb(ctx):
+            self._pending_resume = gate
+            reached.set_result(None)
+            gate.wait()
+            self._pending_resume = None
+
+        self.suspend_sync(suspend_time, cb)
+        return reached
+
+    def resume(self):
+        """Release a pending `suspend(t)` (reference: offline.rs:394).
+        Returns a completed Future for symmetry with the reference."""
+        from ..futures import completed
+
+        gate = getattr(self, "_pending_resume", None)
+        if gate is None:
+            raise InvalidStateError("context is not suspended")
+        gate.set()
+        return completed(None)
 
     @property
     def render_stats(self):

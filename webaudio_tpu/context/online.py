@@ -156,15 +156,24 @@ class AudioContext(BaseAudioContext):
         self._event_loop.stop_thread()
         self._set_state(AudioContextState.CLOSED)
 
-    # async-style aliases
+    # promise-style variants (reference: online.rs:523-784 async fns):
+    # each runs its *_sync counterpart on the shared pool and returns a
+    # concurrent.futures.Future (block with .result(), await via
+    # asyncio.wrap_future)
     def resume(self):
-        self.resume_sync()
+        from ..futures import submit
+
+        return submit(self.resume_sync)
 
     def suspend(self):
-        self.suspend_sync()
+        from ..futures import submit
+
+        return submit(self.suspend_sync)
 
     def close(self):
-        self.close_sync()
+        from ..futures import submit
+
+        return submit(self.close_sync)
 
     def set_sink_id_sync(self, sink_id):
         """Hot-swap the output backend, keeping the live graph + states

@@ -589,9 +589,12 @@ class _FusedVoicesKernel:
         return groups
 
     def resources(self):
+        from ..ops.bufread import edge_vals, pair_rows
+
         res = {"starts": self.starts, "stops": self.stops}
         if self.is_bufsrc:
-            res["data"] = self.data_host
+            res["data_rows"] = pair_rows(self.data_host)
+            res["edge_vals"] = edge_vals(self.data_host)  # non-loop chains
             res["rates"] = self.rates
             res["offsets"] = self.offsets
             res["durations"] = self.durations
@@ -741,13 +744,12 @@ class _FusedVoicesKernel:
         prev_i = jnp.clip(idx, 0, L - 1).reshape(K, B)
         fr = frac.reshape(K, B)
         beyond = prev_i + 1 >= L
-        next_i = jnp.minimum(prev_i + 1, L - 1)
-        data = r["data"]                                      # (C, L)
-        a = data[:, prev_i]                                   # (C, K, B)
-        b = data[:, next_i]
-        prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
+        # both lerp taps in one row gather (ops/bufread.py); the
+        # end-of-buffer extrapolation 2*x[L-1]-x[L-2] is a staged constant
+        from ..ops.bufread import gather_pairs
+        a, b = gather_pairs(r["data_rows"], prev_i)           # (C, K, B)
         edge = jnp.where(((fr >= 1.0 - 1e-6) | (prev_i == 0))[None],
-                         0.0, 2.0 * a - prevprev)
+                         0.0, r["edge_vals"][:, None, None])
         b = jnp.where(beyond[None], edge, b)
         smp = a * (1.0 - fr)[None] + b * fr[None]
         voices = jnp.where(valid.reshape(K, B)[None], smp, 0.0)
@@ -825,17 +827,16 @@ class _FusedVoicesKernel:
             floored = jnp.floor(pos)
             prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
             frac = (pos - floored).astype(jnp.float32)
-            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
-            data = r["data"]                                  # (C, L)
-            a = data[:, prev_i]                               # (C, V, B)
-            b = data[:, next_i]
+            # both lerp taps in one row gather (ops/bufread.py)
+            from ..ops.bufread import gather_pairs
+            a, b = gather_pairs(r["data_rows"], prev_i)       # (C, V, B)
             # non-loop end-of-buffer rule (nodes/buffer_source.py _fetch,
             # reference rs:795-815): zero when k~=1 / single-sample buffer,
-            # else linear extrapolation from the last two samples
+            # else linear extrapolation from the last two samples (a
+            # staged constant, since it only applies at prev_i == L-1)
             beyond = prev_i + 1 >= self.buf_len
-            prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
             edge = jnp.where(((frac >= 1.0 - 1e-6) | (prev_i == 0))[None],
-                             0.0, 2.0 * a - prevprev)
+                             0.0, r["edge_vals"][:, None, None])
             b = jnp.where(beyond[None], edge, b)
             smp = a * (1.0 - frac)[None] + b * frac[None]     # (C, V, B)
             voices = jnp.where(valid[None], smp, 0.0)
@@ -871,12 +872,22 @@ class _FusedVoicesKernel:
         if self.all_const_freq:
             computed = r["computed_const"][:, None]            # (V, 1)
             incr_host = (r["computed_const"].astype(jnp.float64) / fs)
-            n_rel = (t[None, :] - r["starts"][:, None]).astype(jnp.float64)
-            phase = jnp.mod(
-                (n_rel + r["ratios"][:, None]) * incr_host[:, None],
-                1.0).astype(jnp.float32)                       # (V, B)
-            incr = jnp.broadcast_to(incr_host[:, None].astype(jnp.float32),
-                                    (self.V, B))
+            # closed-form phase, f64 only at QUANTUM granularity (V, nq)
+            # and f32 within the quantum: |incr*127| < 2^7 so the f32
+            # rebase error is <= ~4e-7 of a cycle (vs ~2x wall-clock for
+            # a full (V, B) f64 mod on TPU's software f64)
+            from ..constants import RENDER_QUANTUM_SIZE as _Q
+            nq = B // _Q
+            q0 = t.reshape(nq, _Q)[:, 0]
+            n0 = (q0[None, :] - r["starts"][:, None]).astype(jnp.float64)
+            ph0 = jnp.mod((n0 + r["ratios"][:, None]) * incr_host[:, None],
+                          1.0).astype(jnp.float32)             # (V, nq)
+            j = jnp.arange(_Q, dtype=jnp.float32)
+            incr32 = incr_host.astype(jnp.float32)
+            ph = (ph0[:, :, None]
+                  + incr32[:, None, None] * j[None, None, :])  # (V, nq, Q)
+            phase = (ph - jnp.floor(ph)).reshape(self.V, B)
+            incr = jnp.broadcast_to(incr32[:, None], (self.V, B))
             carry = state["phase"]
         else:
             freq = self._full(r["freq_const"], self.freq_dense,

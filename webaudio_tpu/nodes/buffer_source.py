@@ -97,7 +97,13 @@ class _BufferSourceKernel(Kernel):
             self.loop_start, self.loop_end = 0.0, self.buf_duration
 
     def resources(self):
-        return None if self.data_host is None else {"data": self.data_host}
+        if self.data_host is None:
+            return None
+        from ..ops.bufread import edge_vals, pair_rows
+
+        wrap = int(math.ceil(self.loop_start * self.buf_rate))
+        return {"data_rows": pair_rows(self.data_host),
+                "edge_vals": edge_vals(self.data_host, self.loop, wrap)}
 
     def tail_frames(self):
         return 0 if (self.const_rate is not None or not self.has_buffer) \
@@ -194,29 +200,26 @@ class _BufferSourceKernel(Kernel):
         return new_state, [out]
 
     def _fetch(self, scope, playhead, valid):
+        from ..ops.bufread import gather_pairs
+
         floored = jnp.floor(playhead)
         prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
         k = (playhead - floored).astype(jnp.float32)
         beyond = prev_i + 1 >= self.buf_len
+        # both lerp taps in ONE row gather; the end-of-buffer neighbor is a
+        # per-buffer constant staged alongside the rows (ops/bufread.py)
+        a, b = gather_pairs(scope.node_resources["data_rows"], prev_i)
+        edge_c = scope.node_resources["edge_vals"][:, None]   # (C, 1)
         if self.loop:
             # end-of-buffer neighbor wraps into the loop
             # (reference: audio_buffer_source.rs:772-795)
-            start_idx = int(math.ceil(self.loop_start * self.buf_rate))
-            next_i = jnp.where(beyond,
-                               jnp.int32(min(start_idx, self.buf_len - 1)),
-                               prev_i + 1)
+            b = jnp.where(beyond[None, :], edge_c, b)
         else:
-            next_i = jnp.minimum(prev_i + 1, self.buf_len - 1)
-        data = scope.node_resources["data"]
-        a = data[:, prev_i]
-        b = data[:, next_i]
-        if not self.loop:
             # non-looping end-of-buffer (reference: rs:795-815): read 0 when
             # k ~= 1 or the buffer has a single sample, otherwise linearly
             # extrapolate from the last two samples (WebAudio issue #2032)
-            prevprev = data[:, jnp.maximum(prev_i - 1, 0)]
             edge = jnp.where(((k >= 1.0 - 1e-6) | (prev_i == 0))[None, :],
-                             0.0, 2.0 * a - prevprev)
+                             0.0, edge_c)
             b = jnp.where(beyond[None, :], edge, b)
         out = a * (1.0 - k) + b * k
         return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)

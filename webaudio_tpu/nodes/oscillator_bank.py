@@ -72,10 +72,22 @@ class _BankKernel(Kernel):
         start = r["start"][:, None]
         stop = r["stop"][:, None]
 
-        # phase: closed form mod-1 (constant voice frequencies)
-        phase64 = freq.astype(jnp.float64) * (t64[None, :] - start.astype(jnp.float64))
-        phase = jnp.mod(phase64, 1.0).astype(jnp.float32)          # (V, B)
-        incr = (freq / fs).astype(jnp.float32)
+        # phase: closed form mod-1 (constant voice frequencies), f64 only
+        # at QUANTUM granularity + f32 within the quantum (|incr*127| is
+        # small, so the rebase error is <= ~4e-7 of a cycle; a full (V, B)
+        # f64 mod costs ~2x wall on TPU's software f64)
+        from ..constants import RENDER_QUANTUM_SIZE as _Q
+
+        nq = B // _Q
+        t64q = t64[:: _Q]                                          # (nq,)
+        ph0 = jnp.mod(
+            freq.astype(jnp.float64)
+            * (t64q[None, :] - start.astype(jnp.float64)), 1.0
+        ).astype(jnp.float32)                                      # (V, nq)
+        incr = (freq / fs).astype(jnp.float32)                     # (V, 1)
+        j = jnp.arange(_Q, dtype=jnp.float32)
+        ph = ph0[:, :, None] + incr[:, :, None] * j[None, None, :]
+        phase = (ph - jnp.floor(ph)).reshape(-1, B)                # (V, B)
 
         wave_type = self.n.type
         if wave_type == "sine":

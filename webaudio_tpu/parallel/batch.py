@@ -104,9 +104,41 @@ class GraphBatch:
         """Give each instance its own copy of a node resource — e.g. a
         per-instance AudioBuffer for an AudioBufferSourceNode, enabling
         corpus batch-processing.  stacked: (batch, ...) matching the
-        resource's per-instance shape (all instances must share shapes)."""
+        resource's per-instance shape (all instances must share shapes).
+
+        `key="data"` takes raw (batch, C, L) audio and stages the derived
+        pair-row layout + end-of-buffer constants the kernels actually
+        read (ops/bufread.py)."""
         nk = _compiler._k(node.node_id)
-        if nk not in self._resources or key not in self._resources[nk]:
+        if nk not in self._resources:
+            raise ValueError(f"node has no staged resource {key!r}")
+        if key == "data" and "data_rows" in self._resources[nk]:
+            from ..ops.bufread import edge_vals, pair_rows
+
+            kern = self.cg.kernels[node.node_id]
+            base_rows = np.asarray(self._resources[nk]["data_rows"])
+            stacked = np.asarray(stacked, np.float32)
+            C = base_rows.shape[1] // 2
+            if stacked.shape != (self.batch, C, base_rows.shape[0]):
+                raise ValueError(
+                    f"expected {(self.batch, C, base_rows.shape[0])}, "
+                    f"got {stacked.shape}")
+            loop = bool(getattr(kern, "loop", False))
+            wrap = 0
+            if loop:
+                import math
+
+                wrap = int(math.ceil(kern.loop_start * kern.buf_rate))
+            self._resources[nk]["data_rows"] = np.stack(
+                [pair_rows(inst) for inst in stacked])
+            self._resources[nk]["edge_vals"] = np.stack(
+                [edge_vals(inst, loop, wrap) for inst in stacked])
+            self._batched_resources.add((nk, "data_rows"))
+            self._batched_resources.add((nk, "edge_vals"))
+            self._staged = None
+            self._fn = None
+            return
+        if key not in self._resources[nk]:
             raise ValueError(f"node has no staged resource {key!r}")
         base = np.asarray(self._resources[nk][key])
         stacked = np.asarray(stacked, base.dtype)
