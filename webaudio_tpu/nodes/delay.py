@@ -64,22 +64,38 @@ class _DelayKernel(Kernel):
             quantum_duration = RENDER_QUANTUM_SIZE / self.sample_rate
             delay = jnp.maximum(delay, quantum_duration)
         # continuous global read position per sample: t - delay*fs.
+        B = scope.frames
         if delay.ndim == 0:
             # scalar delay: f64 only on the scalar, vector math stays int/f32
             num = delay * self.sample_rate
             n_int = jnp.floor(num)
             k0 = (num - n_int).astype(jnp.float32)          # fractional part
-            prev_i = scope.t_idx - n_int.astype(jnp.int32) - 1
-            k = jnp.broadcast_to(1.0 - k0, (scope.frames,))
+            exact = k0 == 0.0
             # delay*fs integer => k0 == 0 => read exactly at t - n
-            prev_i = jnp.where(k0 == 0.0, prev_i + 1, prev_i)
-            k = jnp.where(k0 == 0.0, jnp.zeros_like(k), k)
-        else:
-            t = scope.t_idx.astype(jnp.float64)
-            pos = t - delay.astype(jnp.float64) * self.sample_rate
-            prev = jnp.floor(pos)
-            k = (pos - prev).astype(jnp.float32)
-            prev_i = prev.astype(jnp.int32)
+            start = (scope.frame0 - n_int.astype(jnp.int32) - 1
+                     + jnp.where(exact, jnp.int32(1), jnp.int32(0)))
+            ks = jnp.where(exact, jnp.float32(0.0), 1.0 - k0)  # scalar lerp
+            # consecutive read positions: TWO contiguous dynamic slices on a
+            # wrap-extended ring instead of a (C, B) gather (gathers run at
+            # ~7 ns/row on TPU; the constant-delay read is the hot op of
+            # every feedback-delay network)
+            ext = jnp.concatenate([ring, ring[:, : B + 1]], axis=1)
+            sm = jnp.mod(start, self.R)
+            a = jax.lax.dynamic_slice(ext, (jnp.int32(0), sm),
+                                      (self.channels, B))
+            b = jax.lax.dynamic_slice(ext, (jnp.int32(0), sm + 1),
+                                      (self.channels, B))
+            out = (1.0 - ks) * a + ks * b
+            # reads from before the first written sample are silent
+            prev_i = start + jnp.arange(B, dtype=jnp.int32)
+            out = jnp.where((prev_i >= 0)[None, :], out,
+                            jnp.where((prev_i + 1 >= 0)[None, :], ks * b, 0.0))
+            return state, [out.astype(jnp.float32)]
+        t = scope.t_idx.astype(jnp.float64)
+        pos = t - delay.astype(jnp.float64) * self.sample_rate
+        prev = jnp.floor(pos)
+        k = (pos - prev).astype(jnp.float32)
+        prev_i = prev.astype(jnp.int32)
         next_i = prev_i + 1
         # ring addressing: R >= max_delay + block makes the mapping unique;
         # positions before stream start read the zero-initialized region
