@@ -20,7 +20,11 @@ rec = MediaRecorder(dest.stream)
 blobs = []
 rec.set_ondataavailable(lambda ev: blobs.append(ev.blob))
 rec.start()
-time.sleep(0.7)
+# wait until the paced render loop has actually produced some audio
+# (under heavy host load the first callbacks can lag)
+deadline = time.time() + 10.0
+while ctx.current_time < 0.3 and time.time() < deadline:
+    time.sleep(0.05)
 rec.stop()
 ctx.close().result()
 

@@ -758,11 +758,28 @@ class _FusedVoicesKernel:
             grow = sel("grow").reshape(K, B)
             gconst = sel("gconst").reshape(K, B)
             if len(self.gain_dense):
+                # per-quantum envelope-row selection as a one-hot matmul:
+                # the row id is constant within (variant, quantum), and a
+                # per-sample (K, B) 2D gather runs ~10x slower than the
+                # (nq, K, D) x (nq, D, Q) batched contraction on v5e
+                # (HIGHEST keeps the 1.0-weighted row selection exact)
                 rows = params.get("gain")                     # (D, B)
-                col = jnp.arange(B)[None, :]
-                dense = jnp.clip(rows[jnp.clip(grow, 0, rows.shape[0] - 1),
-                                      col],
-                                 self.gain_lim[0], self.gain_lim[1])
+                D = rows.shape[0]
+                rq = rows.reshape(D, nq, Q).transpose(1, 0, 2)  # (nq, D, Q)
+
+                def qdense(growq):
+                    oh = (growq[:, :, None] == jnp.arange(
+                        D, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+                    out = jax.lax.dot_general(
+                        oh.transpose(1, 0, 2), rq,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (nq, K, Q)
+                    return out.transpose(1, 0, 2)             # (K, nq, Q)
+
+                dense = jnp.where(use_hi, qdense(hi["grow"]),
+                                  qdense(lo["grow"])).reshape(K, B)
+                dense = jnp.clip(dense, self.gain_lim[0], self.gain_lim[1])
                 g = jnp.where(grow >= 0, dense, gconst)
             else:
                 g = gconst
@@ -889,6 +906,7 @@ class _FusedVoicesKernel:
             phase = (ph - jnp.floor(ph)).reshape(self.V, B)
             incr = jnp.broadcast_to(incr32[:, None], (self.V, B))
             carry = state["phase"]
+            sine_factors = (ph0, incr32, j, nq)
         else:
             freq = self._full(r["freq_const"], self.freq_dense,
                               params.get("frequency"), self.freq_lim, B)
@@ -902,13 +920,27 @@ class _FusedVoicesKernel:
                            axis=1) * r["ratios"]               # (V,)
             phase, carry = jax.vmap(osc_ops.accumulate_phase)(
                 state["phase"], incr64, mask, corr)
+            sine_factors = None
 
         from ..nodes.oscillator import OscillatorType
         if self.is_custom:
             wave = jax.vmap(osc_ops.wavetable_lookup)(
                 phase, scope.node_resources["tables"])
         elif self.kind == OscillatorType.SINE:
-            wave = osc_ops.sine(phase)
+            if sine_factors is not None:
+                # sin(2pi(ph0 + incr*j)) via the angle-sum identity: the
+                # per-sample transcendental drops to (V, nq) + (V, Q)
+                # factors plus two multiplies (~2e-7 vs the direct sin)
+                ph0_, incr32_, j_, nq_ = sine_factors
+                two_pi = np.float32(2 * np.pi)
+                sa = jnp.sin(two_pi * ph0_)[:, :, None]
+                ca = jnp.cos(two_pi * ph0_)[:, :, None]
+                bb = two_pi * incr32_[:, None] * j_[None, :]   # (V, Q)
+                sb = jnp.sin(bb)[:, None, :]
+                cb = jnp.cos(bb)[:, None, :]
+                wave = (sa * cb + ca * sb).reshape(self.V, B)
+            else:
+                wave = osc_ops.sine(phase)
         elif self.kind == OscillatorType.SAWTOOTH:
             wave = osc_ops.sawtooth(phase, incr)
         elif self.kind == OscillatorType.SQUARE:
