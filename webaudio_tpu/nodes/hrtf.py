@@ -36,6 +36,29 @@ PARTITION = RENDER_QUANTUM_SIZE  # per-quantum convolution chunks
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_mats(P: int):
+    """Small-DFT matrices for the per-quantum FDL.
+
+    A 256-point transform is far below the size where FFT algorithms beat
+    the MXU: evaluating rfft/irfft as (nq, 2P) x (2P, P+1) matmuls
+    measured ~3x faster than jnp.fft at nq~3500 batches on v5e.  The
+    inverse only produces the last P samples (overlap-save discards the
+    first half anyway)."""
+    N = 2 * P
+    n = np.arange(N, dtype=np.float64)[:, None]
+    f = np.arange(P + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * f / N
+    DC = np.cos(ang).astype(np.float32)               # (2P, P+1)
+    DS = np.sin(ang).astype(np.float32)
+    m = np.arange(P, N, dtype=np.float64)[None, :]    # last P samples
+    w = np.where((f.T == 0) | (f.T == P), 1.0, 2.0) / N
+    angi = 2.0 * np.pi * f.T * m / N                  # (P+1, P)
+    IDR = (w * np.cos(angi)).astype(np.float32)
+    IDI = (-w * np.sin(angi)).astype(np.float32)
+    return DC, DS, IDR, IDI
+
+
+@functools.lru_cache(maxsize=None)
 def load_hrir_sphere(sample_rate: float, path: str = HRIR_PATH):
     """Parse + resample the HRIR sphere (host-side, cached per rate —
     the analog of load_hrtf_processor's OnceLock cache, panner.rs:39-69)."""
@@ -136,8 +159,11 @@ class HrtfPannerKernel(Kernel):
 
     def resources(self):
         vids, w, az_bins, el_bins = bake_direction_grid(self.sr)
+        DC, DS, IDR, IDI = _dft_mats(PARTITION)
         return {"spectra": self.spectra_host,
-                "grid_vids": vids, "grid_w": w}
+                "grid_vids": vids, "grid_w": w,
+                "dft_cos": DC, "dft_sin": DS,
+                "idft_r": IDR, "idft_i": IDI}
 
     def tail_frames(self):
         return (self.K + 1) * PARTITION
@@ -223,18 +249,39 @@ class HrtfPannerKernel(Kernel):
         else:
             mono = x[0]
 
-        # per-quantum frequency-domain delay line (overlap-save)
+        # per-quantum frequency-domain delay line (overlap-save); the
+        # 256-point transforms run as DFT matmuls on the MXU (_dft_mats)
+        # and the windows come from strided reshapes, not gathers
         ext = jnp.concatenate([state["tail"], mono])
-        idx = jnp.arange(nq)[:, None] * P + jnp.arange(2 * P)[None, :]
-        X = jnp.fft.rfft(ext[idx], axis=-1).astype(jnp.complex64)  # (nq, P+1)
+        segs = jnp.stack([ext[: nq * P].reshape(nq, P),
+                          ext[P:].reshape(nq, P)], axis=1).reshape(nq, 2 * P)
+        hp = jax.lax.Precision.HIGHEST
+        Xr = jnp.dot(segs, scope.node_resources["dft_cos"], precision=hp)
+        Xi = -jnp.dot(segs, scope.node_resources["dft_sin"], precision=hp)
+        X = jax.lax.complex(Xr, Xi).astype(jnp.complex64)          # (nq, P+1)
         Xfull = jnp.concatenate([state["xspec"], X], axis=0)
-        jj = jnp.arange(nq)[:, None]
-        kk = jnp.arange(self.K)[None, :]
-        win = Xfull[jj + (self.K - 1) - kk]          # (nq, K, P+1)
-        Yn = jnp.einsum("qkf,qekf->qef", win, h)     # (nq, 2, P+1)
-        Yp = jnp.einsum("qkf,qekf->qef", win, h_prev)
-        yn = jnp.fft.irfft(Yn, n=2 * P, axis=-1)[..., P:]  # (nq, 2, P)
-        yp = jnp.fft.irfft(Yp, n=2 * P, axis=-1)[..., P:]
+        if self.K * nq <= 4096:
+            Yn = Yp = None
+            for k in range(self.K):
+                wk = Xfull[self.K - 1 - k: self.K - 1 - k + nq]    # (nq, P+1)
+                tn = h[:, :, k, :] * wk[:, None, :]
+                tp = h_prev[:, :, k, :] * wk[:, None, :]
+                Yn = tn if Yn is None else Yn + tn
+                Yp = tp if Yp is None else Yp + tp
+        else:
+            jj = jnp.arange(nq)[:, None]
+            kk = jnp.arange(self.K)[None, :]
+            win = Xfull[jj + (self.K - 1) - kk]      # (nq, K, P+1)
+            Yn = jnp.einsum("qkf,qekf->qef", win, h)     # (nq, 2, P+1)
+            Yp = jnp.einsum("qkf,qekf->qef", win, h_prev)
+        IDR = scope.node_resources["idft_r"]
+        IDI = scope.node_resources["idft_i"]
+        yn = (jnp.dot(jnp.real(Yn).reshape(-1, P + 1), IDR, precision=hp)
+              + jnp.dot(jnp.imag(Yn).reshape(-1, P + 1), IDI, precision=hp)
+              ).reshape(nq, 2, P)
+        yp = (jnp.dot(jnp.real(Yp).reshape(-1, P + 1), IDR, precision=hp)
+              + jnp.dot(jnp.imag(Yp).reshape(-1, P + 1), IDI, precision=hp)
+              ).reshape(nq, 2, P)
         # linear crossfade prev->new across the block, and lerped distance
         # gain applied to the convolved output (hrtf crate semantics)
         kfade = jnp.arange(P, dtype=jnp.float32) / P             # (P,)
