@@ -800,6 +800,12 @@ class _FusedVoicesKernel:
 
     def _full(self, const, dense_pos, dense_rows, lim, B):
         """(V, B) param matrix from per-voice constants + packed rows."""
+        if len(dense_pos) == self.V and np.array_equal(
+                np.asarray(dense_pos), np.arange(self.V)):
+            # every voice is dense in row order (the common every-voice-
+            # enveloped case): the packed rows ARE the matrix — skip the
+            # broadcast + 33 MB scatter
+            return jnp.clip(dense_rows, lim[0], lim[1])
         full = jnp.broadcast_to(const[:, None], (self.V, B))
         if len(dense_pos):
             rows = jnp.clip(dense_rows, lim[0], lim[1])
