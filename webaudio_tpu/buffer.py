@@ -76,6 +76,15 @@ class AudioBuffer:
         n = min(len(destination), self.length - offset)
         destination[:n] = self._data[channel_number, offset:offset + n]
 
+    def copy_from_channel_with_offset(self, destination, channel_number,
+                                      offset):
+        """reference: buffer.rs copy_from_channel_with_offset."""
+        self.copy_from_channel(destination, channel_number, offset)
+
+    def copy_to_channel_with_offset(self, source, channel_number, offset):
+        """reference: buffer.rs copy_to_channel_with_offset."""
+        self.copy_to_channel(source, channel_number, offset)
+
     def copy_to_channel(self, source: np.ndarray, channel_number: int,
                         offset: int = 0) -> None:
         """reference: buffer.rs:180-210"""

@@ -50,6 +50,10 @@ class OfflineAudioContext(BaseAudioContext):
     def oncomplete(self, cb: Callable):
         self._add_event_handler("complete", cb)
 
+    def clear_oncomplete(self):
+        """reference: offline.rs clear_oncomplete."""
+        self._event_handlers.pop("complete", None)
+
     # --- suspend scheduling (reference: offline.rs:241-387) ----------------
     def _calculate_suspend_frame(self, suspend_time: float) -> int:
         if suspend_time < 0:

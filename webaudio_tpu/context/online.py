@@ -192,6 +192,10 @@ class AudioContext(BaseAudioContext):
     def set_onsinkchange(self, cb):
         self._event_loop.add_handler(EventType.SINK_CHANGE, cb)
 
+    def clear_onsinkchange(self):
+        """reference: online.rs clear_onsinkchange."""
+        self._event_loop.clear_handlers(EventType.SINK_CHANGE)
+
     def probe_node_state(self, node):
         """Read a node's live render state (e.g. the analyser ring) from
         the running graph — the analog of the reference's shared-memory
