@@ -39,6 +39,12 @@ def _detector_sequential(y0, x, at, rt):
     return ys
 
 
+def _comb_affine(c1, c2):
+    a1, b1 = c1
+    a2, b2 = c2
+    return a1 * a2, a2 * b1 + b2
+
+
 def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
     """Branch-pattern fixed-point detector — the TPU formulation.
 
@@ -64,15 +70,8 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
 
     def solve(tau):
         # associative composition of y -> tau*y + (1-tau)*x
-        coeff = tau
-        offs = (1.0 - tau) * x64
-
-        def comb(c1, c2):
-            a1, b1 = c1
-            a2, b2 = c2
-            return a1 * a2, a2 * b1 + b2
-
-        As, Bs = jax.lax.associative_scan(comb, (coeff, offs))
+        As, Bs = jax.lax.associative_scan(
+            _comb_affine, (tau, (1.0 - tau) * x64))
         return As * y064 + Bs
 
     def pattern_of(y):
@@ -82,19 +81,21 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
     def taus(pat):
         return jnp.where(pat, at64, rt64)
 
-    y = solve(taus(x64 > y064))  # first guess: propagate y0's branch
+    pat0 = x64 > y064            # first guess: propagate y0's branch
+    y = solve(taus(pat0))
 
     def cond(carry):
-        _, changed, i = carry
+        _, _, changed, i = carry
         return changed & (i < max_iters)
 
     def body(carry):
-        y, _, i = carry
-        y2 = solve(taus(pattern_of(y)))
-        changed = jnp.any(pattern_of(y2) != pattern_of(y))
-        return y2, changed, i + 1
+        y, pat, _, i = carry
+        newpat = pattern_of(y)
+        changed = jnp.any(newpat != pat)
+        return solve(taus(newpat)), newpat, changed, i + 1
 
-    y, _, _ = jax.lax.while_loop(cond, body, (y, jnp.bool_(True), 0))
+    y, _, _, _ = jax.lax.while_loop(
+        cond, body, (y, pat0, jnp.bool_(True), 0))
     return y.astype(jnp.float32)
 
 
