@@ -280,15 +280,32 @@ def case_batched_graphs(batch=256):
     _force(lambda: probe(out))
     wall = (time.perf_counter() - t0) / runs
     if not warmed:
-        return batch * seconds / wall, batch / wall, None
+        return batch * seconds / wall, batch / wall, None, None
     # end-to-end: render + full host readback of the (batch, 2, n) block
     t0 = time.perf_counter()
     for _ in range(runs):
         host = np.asarray(gb.render())
     wall_e2e = (time.perf_counter() - t0) / runs
     assert np.isfinite(host).all() and np.abs(host).max() > 0.0
+    # end-to-end with on-device dithered int16 quantization (halves
+    # readback bytes; the Pallas dither kernel, GraphBatch.render_i16)
+    wall_i16 = None
+    # the int16 shape pays its own one-time transfer setup; retry like
+    # the f32 warm-up above
+    for attempt in range(6):
+        try:
+            hosti = np.asarray(gb.render_i16())
+            assert hosti.dtype == np.int16 and np.abs(hosti).max() > 0
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                hosti = np.asarray(gb.render_i16())
+            wall_i16 = (time.perf_counter() - t0) / runs
+            break
+        except Exception:
+            time.sleep(min(5.0 * (attempt + 1), 30.0))
     return (batch * seconds / wall, batch / wall,
-            batch * seconds / wall_e2e)
+            batch * seconds / wall_e2e,
+            None if wall_i16 is None else batch * seconds / wall_i16)
 
 
 def case_stereo_pan_automation():
@@ -404,12 +421,14 @@ def main():
     for name in names:
         try:
             if name == "batched_graphs":
-                rtf, gps, rtf_e2e = case_batched_graphs()
+                rtf, gps, rtf_e2e, rtf_i16 = case_batched_graphs()
                 print(json.dumps({
                     "case": name, "metric": "batched_realtime_factor",
                     "value": round(rtf, 1), "graphs_per_second": round(gps, 2),
                     "value_end_to_end":
                         None if rtf_e2e is None else round(rtf_e2e, 1),
+                    "value_end_to_end_i16":
+                        None if rtf_i16 is None else round(rtf_i16, 1),
                 }), flush=True)
                 continue
             ctx, seconds = CASES[name]()

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 
 
 def _dither_kernel(seed_ref, x_ref, out_ref):
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0])
+    # decorrelate the PRNG stream across grid programs
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     scaled = x_ref[...] * 32767.0
     bits = pltpu.prng_random_bits(scaled.shape)
     # one uniform in [0,1): stochastic rounding == 1-LSB RPDF dither
@@ -29,8 +31,13 @@ def _dither_kernel(seed_ref, x_ref, out_ref):
     out_ref[...] = jnp.clip(q, -32768.0, 32767.0).astype(jnp.int32)
 
 
+_ROWS_PER_PROG = 1024          # 1024 x 128 f32 = 512 KB per grid step
+
+
 def dither_to_i16_tpu(x, seed: int = 0):
-    """(C, T) f32 in [-1,1] -> (C, T) int32 of i16 codes, on device."""
+    """(C, T) f32 in [-1,1] -> (C, T) int32 of i16 codes, on device.
+    Gridded over row tiles so arbitrarily large bounces never exceed
+    VMEM (a 256-graph batch is ~200 MB)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -39,23 +46,34 @@ def dither_to_i16_tpu(x, seed: int = 0):
     pad = (-T) % lanes
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     xp = xp.reshape(C * (T + pad) // lanes, lanes)
+    rows = xp.shape[0]
+    rpad = (-rows) % _ROWS_PER_PROG
+    if rpad:
+        xp = jnp.pad(xp, ((0, rpad), (0, 0)))
+    grid = xp.shape[0] // _ROWS_PER_PROG
 
     out = pl.pallas_call(
         _dither_kernel,
         out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.int32),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (jnp.int32(0),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS_PER_PROG, lanes),
+                         lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_ROWS_PER_PROG, lanes),
+                               lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
     )(jnp.asarray([seed], jnp.int32), xp)
-    return out.reshape(C, T + pad)[:, :T]
+    return out[:rows].reshape(C, T + pad)[:, :T]
 
 
 def dither_to_i16(x, seed: int = 0):
     """Dithered i16 quantization; Pallas on TPU, numpy TPD elsewhere."""
     if isinstance(x, jnp.ndarray) and x.devices() and \
-            next(iter(x.devices())).platform == "tpu":
+            next(iter(x.devices())).platform in ("tpu", "axon"):
         try:
             return np.asarray(dither_to_i16_tpu(x, seed), np.int16)
         except Exception:

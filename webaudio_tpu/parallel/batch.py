@@ -203,6 +203,24 @@ class GraphBatch:
         states, xs, res = self._stage()
         return self._fn(states, xs, res)
 
+    def render_i16(self, seed: int = 0):
+        """Render and quantize to dithered int16 ON DEVICE (the Pallas
+        dither kernel, ops/dither.py) before the host transfer — halves
+        readback bytes, which is the end-to-end bottleneck on thin
+        host links (PCIe sharing, tunneled chips).  Returns an int16
+        array shaped like render()."""
+        out = self.render()
+        b, c, t = out.shape
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            from ..ops.dither import dither_to_i16_tpu
+
+            q = dither_to_i16_tpu(out.reshape(b * c, t), seed)
+            return q.astype(jnp.int16).reshape(b, c, t)
+        from ..ops.dither import dither_to_i16
+
+        return dither_to_i16(np.asarray(out).reshape(b * c, t),
+                             seed).reshape(b, c, t)
+
 
 def default_mesh(axis: str = "graphs") -> Mesh:
     devs = np.array(jax.devices())
