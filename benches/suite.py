@@ -271,7 +271,9 @@ def case_batched_graphs(batch=256):
             np.asarray(out)
             warmed = True
             break
-        except Exception:
+        except Exception as exc:
+            print(f"# f32 readback warm-up attempt {attempt}: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
             time.sleep(min(5.0 * (attempt + 1), 30.0))
     runs = 3
     t0 = time.perf_counter()
@@ -301,7 +303,12 @@ def case_batched_graphs(batch=256):
                 hosti = np.asarray(gb.render_i16())
             wall_i16 = (time.perf_counter() - t0) / runs
             break
-        except Exception:
+        except Exception as exc:
+            # log so a real regression in the int16 bounce path (shape
+            # error, Pallas failure) is distinguishable from transient
+            # transfer-setup flakiness on the tunneled backend
+            print(f"# render_i16 attempt {attempt}: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
             time.sleep(min(5.0 * (attempt + 1), 30.0))
     return (batch * seconds / wall, batch / wall,
             batch * seconds / wall_e2e,

@@ -107,8 +107,6 @@ def test_graph_batch_override_param_through_fusion():
         batch = 3
         gb = GraphBatch(ctx, batch=batch)
         # instance b mutes everything except env 0, with gain b+1
-        for b in range(batch):
-            pass
         dense = np.zeros((batch, n), np.float32)
         for b in range(batch):
             dense[b] = float(b + 1)

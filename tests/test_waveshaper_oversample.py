@@ -113,3 +113,34 @@ def test_oversampled_hard_clip_bounded():
         out = _render(ov, tone, clip)
         assert np.isfinite(out).all()
         assert 0.5 < np.abs(out).max() < 0.62, ov
+
+
+def test_long_curve_gather_fallback_matches_matmul():
+    # curves beyond the matmul-segment threshold switch to the gather+lerp
+    # path; both must agree with a numpy gather+lerp oracle
+    import jax.numpy as jnp
+    from webaudio_tpu.nodes.waveshaper import (
+        apply_curve, _apply_curve_gather, _SEG, _MAX_MATMUL_SEGS)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.2, 1.2, size=2048).astype(np.float32)
+
+    def oracle(curve, x):
+        n = len(curve)
+        v = (n - 1) / 2.0 * (x.astype(np.float64) + 1.0)
+        v = np.clip(v, 0.0, float(n - 1))
+        ki = np.minimum(np.floor(v).astype(np.int64), n - 2)
+        f = (v - ki).astype(np.float32)
+        return (1.0 - f) * curve[ki] + f * curve[ki + 1]
+
+    for n in (3, 257, 2049, _SEG * _MAX_MATMUL_SEGS + 1, 65536):
+        grid = np.linspace(-1, 1, n)
+        curve = np.tanh(3.0 * grid).astype(np.float32)
+        got = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+        np.testing.assert_allclose(got, oracle(curve, x), atol=2e-6,
+                                   err_msg=f"curve len {n}")
+        # gather path agrees with the matmul path on short curves too
+        gat = np.asarray(_apply_curve_gather(jnp.asarray(curve),
+                                             jnp.asarray(x)))
+        np.testing.assert_allclose(gat, oracle(curve, x), atol=2e-6,
+                                   err_msg=f"gather, curve len {n}")

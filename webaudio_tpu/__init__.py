@@ -16,11 +16,53 @@ Public API mirrors the reference crate: contexts, `create_*` factories,
 `connect` / `start`, AudioParam automation methods.
 """
 
+import os as _os
+
 import jax as _jax
 
 # f64 is used for host-side time math and small per-voice scalar carries
 # (phase accumulators); audio tensors are always explicit f32.
 _jax.config.update("jax_enable_x64", True)
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX's persistent compilation cache at a writable directory.
+
+    Cold compiles on the tunneled TPU backend run 4-400 s per program
+    (benches/RESULTS_v5e.jsonl `compile_seconds`); the persistent cache
+    makes every later process that compiles an identical program hit disk
+    instead.  Opt out (or redirect) with WEBAUDIO_COMPILE_CACHE=0|<dir>.
+    Failures (read-only fs, backend refusing executable serialization)
+    degrade to uncached compiles, never to errors."""
+    pref = _os.environ.get("WEBAUDIO_COMPILE_CACHE", "")
+    if pref == "0":
+        return
+    # CPU-only sessions (the test harness) skip the cache unless
+    # explicitly pointed at a directory: XLA:CPU persists AOT executables
+    # specialized to the compiling host's CPU flags, and reloading them on
+    # a heterogeneous fleet risks SIGILL.  The win is the tunneled-TPU
+    # remote compile path anyway.
+    try:
+        plats = (_jax.config.jax_platforms
+                 or _os.environ.get("JAX_PLATFORMS", "") or "")
+    except AttributeError:  # pragma: no cover - very old jax
+        plats = _os.environ.get("JAX_PLATFORMS", "")
+    if not pref and plats.strip().lower() == "cpu":
+        return
+    cache_dir = pref or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "webaudio_tpu", "xla_cache")
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything: even "fast" local compiles are expensive
+        # through the tunnel's serialized remote-compile path
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
 
 from .constants import (  # noqa: F401,E402
     RENDER_QUANTUM_SIZE, MAX_CHANNELS,

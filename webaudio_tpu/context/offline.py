@@ -155,10 +155,14 @@ class OfflineAudioContext(BaseAudioContext):
         """Async variant: render on the shared pool and return a
         `concurrent.futures.Future[AudioBuffer]` (reference:
         offline.rs:198-230).  Compose with `suspend(t)`/`resume()` from
-        another thread (or an event loop via `asyncio.wrap_future`)."""
-        from ..futures import submit
+        another thread (or an event loop via `asyncio.wrap_future`).
 
-        return submit(self.start_rendering_sync)
+        Runs on a dedicated thread (not the shared pool): a render parked
+        in `suspend(t)` blocks its thread until `resume()`, and must not
+        occupy a worker other futures are waiting on."""
+        from ..futures import submit_dedicated
+
+        return submit_dedicated(self.start_rendering_sync)
 
     def suspend(self, suspend_time: float):
         """Async suspend (reference: offline.rs:241-251): returns a Future

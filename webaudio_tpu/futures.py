@@ -34,6 +34,29 @@ def submit(fn, *args, **kw) -> concurrent.futures.Future:
     return get_executor().submit(fn, *args, **kw)
 
 
+def submit_dedicated(fn, *args, **kw) -> concurrent.futures.Future:
+    """Run `fn` on its own daemon thread rather than the shared pool.
+
+    For tasks that can block indefinitely waiting on user action — an
+    offline render parked inside `suspend(t)` holds its thread on
+    `gate.wait()` until `resume()`; on the shared 4-worker pool a handful
+    of concurrently suspended renders would starve every other future
+    (including ones whose completion is needed to trigger the resume)."""
+    f: concurrent.futures.Future = concurrent.futures.Future()
+
+    def run():
+        if not f.set_running_or_notify_cancel():
+            return
+        try:
+            f.set_result(fn(*args, **kw))
+        except BaseException as exc:  # noqa: BLE001 - mirrored into the future
+            f.set_exception(exc)
+
+    threading.Thread(target=run, daemon=True,
+                     name="webaudio-render").start()
+    return f
+
+
 def completed(value) -> concurrent.futures.Future:
     f: concurrent.futures.Future = concurrent.futures.Future()
     f.set_result(value)

@@ -561,7 +561,6 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
     delay (its read distance can shrink mid-render) pins the graph to the
     reference's one-quantum stepping."""
     from ..nodes.delay import DelayNode
-    from ..automation import SET_VALUE
 
     d_min = None
     for nid in cycle_breakers:
@@ -570,9 +569,7 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
             return 1
         p = node.params["delay_time"]
         driven = any(e.param == "delay_time" and e.dst == nid for e in edges)
-        const = all(ev.event_type == SET_VALUE and ev.time == 0.0
-                    for ev in p._timeline.events)
-        if driven or not const:
+        if driven or not p.is_constant_schedule():
             return 1
         num = float(np.float32(p.value)) * sample_rate
         d_min = num if d_min is None else min(d_min, num)

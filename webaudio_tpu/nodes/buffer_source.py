@@ -101,6 +101,13 @@ class _BufferSourceKernel(Kernel):
             return None
         from ..ops.bufread import edge_vals, pair_rows
 
+        # NOTE: the loop-wrap edge constant is staged from loop_start at
+        # compile time.  The kernel is rebuilt (make_kernel) at every
+        # re-trace, so loop-point mutations apply at the next suspend /
+        # graph-mutation boundary; the reference re-reads them every
+        # quantum (audio_buffer_source.rs:629-637).  Within one compiled
+        # segment a loop_start change is not observable — a documented
+        # static-compile deviation.
         wrap = int(math.ceil(self.loop_start * self.buf_rate))
         return {"data_rows": pair_rows(self.data_host),
                 "edge_vals": edge_vals(self.data_host, self.loop, wrap)}

@@ -27,6 +27,24 @@ class OverSampleType(str, Enum):
 
 
 _SEG = 64     # table-segment width for the two-level matmul lookup
+_MAX_MATMUL_SEGS = 64   # beyond 64 segments (4096 entries) gather wins
+
+
+def _apply_curve_gather(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Plain gather+lerp curve lookup (reference: waveshaper.rs:556-573).
+
+    Used for curves too long for the matmul formulation in `apply_curve`;
+    produces bit-identical results (same index/fraction math)."""
+    n = curve.shape[0]
+    shape = x.shape
+    v = (n - 1) / 2.0 * (x.reshape(-1) + 1.0)
+    v = jnp.clip(v, 0.0, float(n - 1))
+    ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), n - 2)
+    f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
+    c0 = jnp.take(curve, ki, axis=0)
+    c1 = jnp.take(curve, ki + 1, axis=0)
+    y = (1.0 - f) * c0 + f * c1
+    return y.reshape(shape)
 
 
 def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -45,6 +63,13 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
     n = curve.shape[0]
     nseg = -(-(n) // _SEG)
+    if nseg > _MAX_MATMUL_SEGS:
+        # Long curves (spec allows e.g. 64k entries): the two-hot matmul
+        # does O(nseg) MACs per sample and materializes a (M, nseg)
+        # intermediate — at 64k entries and a 4x-oversampled large block
+        # that is gigabytes.  Fall back to the plain gather+lerp
+        # formulation (identical math, O(1) per sample).
+        return _apply_curve_gather(curve, x)
     npad = nseg * _SEG
     # padded segment table (nseg, SEG+1); pad entries replicate curve[-1]
     # (ki is clamped to n-2 below, so they are never weighted anyway)

@@ -108,6 +108,15 @@ class AudioParam:
     def value(self) -> float:
         return min(max(self._current_value, self.min_value), self.max_value)
 
+    def is_constant_schedule(self) -> bool:
+        """True iff the automation timeline pins this param to one constant
+        for the whole render (only immediate set_value events at t=0).
+
+        Public so consumers (e.g. the compiler's cyclic-graph block-size
+        bound) need not reach into timeline internals."""
+        return all(ev.event_type == SET_VALUE and ev.time == 0.0
+                   for ev in self._timeline.events)
+
     @value.setter
     def value(self, v: float):
         self.set_value(v)
