@@ -409,6 +409,84 @@ def case_granular_grains(n_grains=400):
     return ctx, seconds
 
 
+def case_mixed_corpus(per=32, seconds=2.0):
+    """Heterogeneous corpus: three topologies x `per` instances rendered in
+    ONE MixedGraphBatch call (bucketed compile cache, SURVEY §7 item 8).
+    Per-instance variation is dense automation, so each topology is one
+    bucket/one compile."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.parallel.batch import MixedGraphBatch
+
+    fs = 48000.0
+    n = int(fs * seconds)
+    sample = None
+
+    def topo_filter(i):
+        nonlocal sample
+        ctx = wa.OfflineAudioContext(2, n, fs)
+        if sample is None:
+            sample = ctx.decode_audio_data_sync(
+                os.path.join(SAMPLES, "sample.wav"))
+        src = ctx.create_buffer_source(loop=True)
+        src.buffer = sample
+        src.start()
+        f = ctx.create_biquad_filter(type="lowpass", q=3.0)
+        f.frequency.set_value_at_time(200.0, 0.0)
+        f.frequency.exponential_ramp_to_value_at_time(
+            1000.0 + 250.0 * i, seconds)
+        src.connect(f)
+        f.connect(ctx.destination)
+        return ctx
+
+    def topo_synth(i):
+        ctx = wa.OfflineAudioContext(2, n, fs)
+        o = ctx.create_oscillator(type="sawtooth", frequency=110.0)
+        o.frequency.linear_ramp_to_value_at_time(
+            110.0 + 10.0 * i, seconds)  # dense per-instance pitch ramp
+        env = ctx.create_gain(gain=0.0)
+        env.gain.linear_ramp_to_value_at_time(1.0, 0.02 + 0.001 * i)
+        env.gain.set_target_at_time(0.0, 0.5, 0.2)
+        o.connect(env)
+        env.connect(ctx.destination)
+        o.start()
+        return ctx
+
+    def topo_pan(i):
+        ctx = wa.OfflineAudioContext(2, n, fs)
+        o = ctx.create_oscillator(frequency=440.0)
+        o.frequency.linear_ramp_to_value_at_time(440.0 + i, seconds)
+        p = ctx.create_stereo_panner()
+        p.pan.set_value_at_time(-1.0, 0.0)
+        p.pan.linear_ramp_to_value_at_time(1.0, seconds / (i + 1))
+        o.connect(p)
+        p.connect(ctx.destination)
+        o.start()
+        return ctx
+
+    ctxs = [topo_filter(i) for i in range(per)] \
+        + [topo_synth(i) for i in range(per)] \
+        + [topo_pan(i) for i in range(per)]
+    mb = MixedGraphBatch(ctxs)
+
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+    # warm: compile every bucket, gate validity
+    outs = [gb.render() for _, gb in mb._buckets]
+    for out in outs:
+        peak = _force(lambda: probe(out))
+        assert np.isfinite(peak) and peak > 0.0, "invalid bucket render"
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        outs = [gb.render() for _, gb in mb._buckets]
+    _force(lambda: probe(outs[-1]))
+    wall = (time.perf_counter() - t0) / runs
+    total_audio = seconds * len(ctxs)
+    return total_audio / wall, len(ctxs), mb.num_buckets
+
+
 CASES = {
     "buffer_biquad": case_buffer_biquad,
     "many_oscillators": case_many_oscillators,
@@ -424,9 +502,17 @@ CASES = {
 
 
 def main():
-    names = sys.argv[1:] or list(CASES) + ["batched_graphs"]
+    names = sys.argv[1:] or list(CASES) + ["batched_graphs", "mixed_corpus"]
     for name in names:
         try:
+            if name == "mixed_corpus":
+                rtf, n_graphs, n_buckets = case_mixed_corpus()
+                print(json.dumps({
+                    "case": name, "metric": "mixed_corpus_realtime_factor",
+                    "value": round(rtf, 1), "graphs": n_graphs,
+                    "buckets": n_buckets,
+                }), flush=True)
+                continue
             if name == "batched_graphs":
                 rtf, gps, rtf_e2e, rtf_i16 = case_batched_graphs()
                 print(json.dumps({

@@ -95,6 +95,7 @@ _LAZY = {
     "EventType": ("webaudio_tpu.events", "EventType"),
     "AudioRenderCapacityEvent": ("webaudio_tpu.stats", "AudioRenderCapacityEvent"),
     "GraphBatch": ("webaudio_tpu.parallel.batch", "GraphBatch"),
+    "MixedGraphBatch": ("webaudio_tpu.parallel.batch", "MixedGraphBatch"),
     "render_time_sharded": ("webaudio_tpu.parallel.segments", "render_time_sharded"),
     "RenderSession": ("webaudio_tpu.checkpoint", "RenderSession"),
     "OscillatorBankNode": ("webaudio_tpu.nodes.oscillator_bank", "OscillatorBankNode"),

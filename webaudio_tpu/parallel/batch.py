@@ -30,14 +30,15 @@ class GraphBatch:
     initial states.
     """
 
-    def __init__(self, context, batch: int, mesh: Optional[Mesh] = None):
+    def __init__(self, context, batch: int, mesh: Optional[Mesh] = None,
+                 _cg=None):
         self.context = context
         self.batch = batch
         self.mesh = mesh
         total = context.length
         self.total_frames = total
         self.sample_rate = context.sample_rate
-        self.cg = _compiler.compile_graph(
+        self.cg = _cg if _cg is not None else _compiler.compile_graph(
             dict(context._nodes), list(context._edges), context.sample_rate,
             total, context._destination.node_id)
         B = self.cg.block_frames
@@ -99,6 +100,14 @@ class GraphBatch:
                 out_shardings=sh)
         else:
             self._fn = jax.jit(batched)
+
+    @classmethod
+    def from_contexts(cls, contexts, mesh: Optional[Mesh] = None
+                      ) -> "MixedGraphBatch":
+        """Batch a heterogeneous list of contexts (mixed topologies):
+        instances bucket by structural graph hash, one compile per bucket,
+        one `render()` returning per-context results in input order."""
+        return MixedGraphBatch(contexts, mesh=mesh)
 
     def override_buffer(self, node, stacked: np.ndarray, key: str = "data"):
         """Give each instance its own copy of a node resource — e.g. a
@@ -225,3 +234,156 @@ class GraphBatch:
 def default_mesh(axis: str = "graphs") -> Mesh:
     devs = np.array(jax.devices())
     return Mesh(devs, (axis,))
+
+
+# --- mixed-topology batching (SURVEY §7 build-plan item 8) -----------------
+
+
+def _fp_tokens(v, out: list, depth: int = 0):
+    """Append hashable fingerprint tokens for one kernel attribute.
+
+    Everything BAKED into the traced closure must reach the fingerprint by
+    VALUE (scalars, strings, schedule frames, baked coefficients); bulk
+    array data is fingerprinted by shape/dtype only because per-instance
+    content rides the staged-resource path, where differing leaves get
+    stacked and vmapped (see MixedGraphBatch)."""
+    if depth > 6:
+        out.append("deep")
+        return
+    if v is None or isinstance(v, (bool, int, float, str)):
+        out.append(repr(v))
+    elif isinstance(v, (np.floating, np.integer)):
+        out.append(repr(float(v)))
+    elif isinstance(v, (list, tuple)):
+        out.append(f"seq{len(v)}")
+        for item in v:
+            _fp_tokens(item, out, depth + 1)
+    elif isinstance(v, dict):
+        out.append(f"map{len(v)}")
+        for k in sorted(v, key=repr):
+            out.append(repr(k))
+            _fp_tokens(v[k], out, depth + 1)
+    elif isinstance(v, np.ndarray) or hasattr(v, "shape"):
+        out.append(f"arr{tuple(v.shape)}{getattr(v, 'dtype', '')}")
+    elif callable(v):
+        # same callable object => same bucket; different callables split
+        # (over-splitting is safe, silently sharing user code is not)
+        out.append(f"fn{getattr(v, '__qualname__', '')}{id(v)}")
+    else:
+        # webaudio objects (node back-refs etc.): type identity only —
+        # their kernel-relevant content is copied onto the kernel
+        out.append(type(v).__name__)
+
+
+def graph_fingerprint(cg) -> str:
+    """Structural fingerprint of a compiled graph: two graphs bucket
+    together iff their traced closures are interchangeable, so one XLA
+    compile can serve instances of both with per-instance dense params,
+    initial states, and (stacked) resources."""
+    import hashlib
+
+    toks: list = [
+        f"B{cg.block_frames}", f"fs{cg.sample_rate}",
+        f"dc{cg.n_dest_channels}",
+        repr(cg.order), repr(sorted(cg.muted)),
+        repr(sorted(cg.cycle_breakers)),
+        repr(cg.dense_params),
+        repr(sorted(cg.in_counts.items())),
+        repr(sorted(cg.out_counts.items())),
+    ]
+    # constant params are baked into the closure as f32 scalars -> value
+    for key, plan in sorted(cg.param_plan.items(), key=repr):
+        if plan.is_constant:
+            toks.append(f"c{key}={np.float32(plan.scalar)!r}")
+    for nid in sorted(cg.kernels):
+        kern = cg.kernels[nid]
+        toks.append(f"k{nid}:{type(kern).__name__}")
+        d = getattr(kern, "__dict__", None)
+        if d:
+            for name in sorted(d):
+                toks.append(name)
+                _fp_tokens(d[name], toks)
+        r = kern.resources()
+        if r is not None:
+            for lk in sorted(r):
+                arr = np.asarray(r[lk])
+                toks.append(f"r{lk}:{arr.shape}{arr.dtype}")
+    return hashlib.sha256("|".join(toks).encode()).hexdigest()
+
+
+class MixedGraphBatch:
+    """Batch-render a heterogeneous corpus of graphs in one call.
+
+    Contexts are bucketed by `graph_fingerprint`; each bucket compiles
+    ONCE (the first member's trace serves all members) and renders as a
+    vmapped batch with per-instance dense automation, initial states, and
+    stacked resources where members' staged arrays differ (e.g. different
+    audio buffers of the same shape).  Contexts whose structure, baked
+    constants, length, or resource shapes differ land in different
+    buckets — correctness never depends on bucketing, only compile count
+    does.  Build same-topology contexts in the same node order: node ids
+    are part of the structure.
+
+    SURVEY §7 build-plan item 8: "mixed topologies -> bucketed compile
+    cache keyed on graph hash".  No reference counterpart (the reference
+    renders one graph per thread)."""
+
+    def __init__(self, contexts, mesh: Optional[Mesh] = None):
+        contexts = list(contexts)
+        if not contexts:
+            raise ValueError("need at least one context")
+        self.contexts = contexts
+        self.mesh = mesh
+        cgs = [_compiler.compile_graph(
+            dict(c._nodes), list(c._edges), c.sample_rate, c.length,
+            c._destination.node_id) for c in contexts]
+        buckets: dict = {}
+        for idx, (ctx, cg) in enumerate(zip(contexts, cgs)):
+            buckets.setdefault(graph_fingerprint(cg), []).append((idx, ctx, cg))
+        self._buckets = []
+        for fp, members in buckets.items():
+            idxs = [m[0] for m in members]
+            leader_idx, leader_ctx, leader_cg = members[0]
+            bucket_mesh = mesh
+            if mesh is not None and len(members) % mesh.devices.size != 0:
+                bucket_mesh = None  # odd bucket: render unsharded
+            gb = GraphBatch(leader_ctx, batch=len(members),
+                            mesh=bucket_mesh, _cg=leader_cg)
+            # per-instance dense automation straight from each member's
+            # own compiled timelines (row order is part of the fingerprint)
+            padded = gb.nb * gb.cg.block_frames
+            for j, (_, ctx, cg) in enumerate(members):
+                rows = _compiler.pack_dense_params(cg, padded,
+                                                   plans=cg.param_plan)
+                gb._xs[j] = rows.reshape(
+                    rows.shape[0], gb.nb, gb.cg.block_frames).transpose(1, 0, 2)
+            # resources: leaves identical across members stay shared;
+            # differing leaves stack along a new batch axis and vmap
+            member_res = [_compiler.collect_resources(cg)
+                          for (_, _, cg) in members]
+            for nk, leaves in gb._resources.items():
+                for lk in leaves:
+                    arrs = [np.asarray(mr[nk][lk]) for mr in member_res]
+                    if all(np.array_equal(arrs[0], a) for a in arrs[1:]):
+                        continue
+                    gb._resources[nk][lk] = np.stack(arrs)
+                    gb._batched_resources.add((nk, lk))
+            gb._staged = None
+            gb._fn = None
+            self._buckets.append((idxs, gb))
+
+    @property
+    def num_buckets(self) -> int:
+        return len(self._buckets)
+
+    def render(self) -> list:
+        """Render every context; returns a list aligned with the input
+        order, each entry a (channels, length) float32 numpy array."""
+        results: list = [None] * len(self.contexts)
+        # dispatch all buckets first (device queues pipeline), fetch after
+        outs = [(idxs, gb, gb.render()) for idxs, gb in self._buckets]
+        for idxs, gb, out in outs:
+            host = np.asarray(out)
+            for j, idx in enumerate(idxs):
+                results[idx] = host[j, :, : gb.total_frames]
+        return results
