@@ -310,9 +310,32 @@ def case_batched_graphs(batch=256):
             print(f"# render_i16 attempt {attempt}: "
                   f"{type(exc).__name__}: {exc}", file=sys.stderr)
             time.sleep(min(5.0 * (attempt + 1), 30.0))
-    return (batch * seconds / wall, batch / wall,
-            batch * seconds / wall_e2e,
-            None if wall_i16 is None else batch * seconds / wall_i16)
+    results = {
+        "value": batch * seconds / wall,
+        "graphs_per_second": batch / wall,
+        "value_end_to_end": batch * seconds / wall_e2e,
+        "value_end_to_end_i16":
+            None if wall_i16 is None else batch * seconds / wall_i16,
+    }
+    # double-buffered serving (render k+1 dispatched before fetching k:
+    # transfer hides under the next batch's compute) at i16 and u-law u8
+    # bounce depths
+    for fetch in ("i16", "u8"):
+        key = f"value_end_to_end_{fetch}_pipelined"
+        results[key] = None
+        try:
+            for _ in gb.render_stream(2, fetch=fetch):
+                pass  # warm the bounce + transfer path for this dtype
+            cnt = 6
+            t0 = time.perf_counter()
+            for host in gb.render_stream(cnt, fetch=fetch):
+                assert np.abs(host).max() > 0
+            wallp = (time.perf_counter() - t0) / cnt
+            results[key] = batch * seconds / wallp
+        except Exception as exc:
+            print(f"# render_stream({fetch}) failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+    return results
 
 
 def case_stereo_pan_automation():
@@ -514,14 +537,11 @@ def main():
                 }), flush=True)
                 continue
             if name == "batched_graphs":
-                rtf, gps, rtf_e2e, rtf_i16 = case_batched_graphs()
+                res = case_batched_graphs()
                 print(json.dumps({
                     "case": name, "metric": "batched_realtime_factor",
-                    "value": round(rtf, 1), "graphs_per_second": round(gps, 2),
-                    "value_end_to_end":
-                        None if rtf_e2e is None else round(rtf_e2e, 1),
-                    "value_end_to_end_i16":
-                        None if rtf_i16 is None else round(rtf_i16, 1),
+                    **{k: (None if v is None else round(v, 1))
+                       for k, v in res.items()},
                 }), flush=True)
                 continue
             ctx, seconds = CASES[name]()

@@ -88,6 +88,7 @@ _LAZY = {
     "MediaStreamTrack": ("webaudio_tpu.media.streams", "MediaStreamTrack"),
     "MediaRecorder": ("webaudio_tpu.media.recorder", "MediaRecorder"),
     "MediaElement": ("webaudio_tpu.media.element", "MediaElement"),
+    "MediaDecoder": ("webaudio_tpu.media.decoding", "MediaDecoder"),
     "enumerate_devices_sync": ("webaudio_tpu.media.devices", "enumerate_devices_sync"),
     "get_user_media_sync": ("webaudio_tpu.media.devices", "get_user_media_sync"),
     "MediaTrackConstraints": ("webaudio_tpu.media.devices", "MediaTrackConstraints"),

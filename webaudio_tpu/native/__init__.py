@@ -141,6 +141,13 @@ def flac_decode_native(data: bytes):
     return out[:, :n].copy() if n != cap else out, float(rate.value)
 
 
+_READ_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int)
+_SEEK_CB = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_void_p,
+                            ctypes.c_int64, ctypes.c_int)
+_AVSEEK_SIZE = 0x10000
+
+
 # --- compressed-codec host (wacodec.cpp over system FFmpeg libs) -----------
 # The native analog of the reference's symphonia dependency
 # (/root/reference/src/decoding.rs:15-54): mp3, ogg/vorbis, aac/m4a, alac,
@@ -190,6 +197,26 @@ def get_codec_lib():
         lib.wac_decode.restype = ctypes.c_int
         lib.wac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.wac_free.restype = None
+        if hasattr(lib, "wac_open"):
+            lib.wac_open.argtypes = [
+                _READ_CB, _SEEK_CB, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_char_p, ctypes.c_int]
+            lib.wac_open.restype = ctypes.c_void_p
+            lib.wac_stream_read.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_char_p, ctypes.c_int]
+            lib.wac_stream_read.restype = ctypes.c_int64
+            lib.wac_stream_seek.argtypes = [
+                ctypes.c_void_p, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
+                ctypes.c_int]
+            lib.wac_stream_seek.restype = ctypes.c_int
+            lib.wac_close.argtypes = [ctypes.c_void_p]
+            lib.wac_close.restype = None
         _codec_lib = lib
         return _codec_lib
 
@@ -220,3 +247,125 @@ def codec_decode_native(data: bytes):
     finally:
         lib.wac_free(out)
     return arr, float(rate.value)
+
+
+class CodecStream:
+    """Incremental pull-decoder over the native codec host.
+
+    The analog of the reference's `MediaDecoder` chunk iterator over a
+    `MediaInput` source (/root/reference/src/decoding.rs:60-92, :97+):
+    decodes any libav-supported container from a file-like object
+    chunk-by-chunk with memory bounded by the chunk size, forward-only when
+    the source is unseekable.  `read(n)` -> (channels, m<=n) f32 (None at
+    end of stream); `seek(t)` -> actual landing time (container sync point;
+    callers discard forward for sample accuracy)."""
+
+    def __init__(self, fileobj, seekable: bool | None = None):
+        lib = get_codec_lib()
+        if lib is None or not hasattr(lib, "wac_open"):
+            raise RuntimeError("native codec host unavailable")
+        self._lib = lib
+        self._f = fileobj
+        if seekable is None:
+            seekable = bool(getattr(fileobj, "seekable", lambda: False)())
+        self.seekable = seekable
+        self._size = None
+        if seekable:
+            cur = fileobj.tell()
+            self._size = fileobj.seek(0, 2)
+            fileobj.seek(cur)
+
+        def _read(_opaque, buf, n):
+            try:
+                data = self._f.read(n)
+                if not data:
+                    return -1
+                ctypes.memmove(buf, data, len(data))
+                return len(data)
+            except Exception:
+                return -1
+
+        def _seek(_opaque, offset, whence):
+            try:
+                if whence == _AVSEEK_SIZE:
+                    return -1 if self._size is None else self._size
+                self._f.seek(offset, whence)
+                return self._f.tell()
+            except Exception:
+                return -1
+
+        # keep callback objects alive for the handle's lifetime
+        self._read_cb = _READ_CB(_read)
+        self._seek_cb = _SEEK_CB(_seek) if seekable else \
+            ctypes.cast(None, _SEEK_CB)
+        ch = ctypes.c_uint32()
+        rate = ctypes.c_uint32()
+        dur = ctypes.c_double()
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.wac_open(self._read_cb, self._seek_cb, None,
+                               ctypes.byref(ch), ctypes.byref(rate),
+                               ctypes.byref(dur), err, 256)
+        if not self._h:
+            raise ValueError(err.value.decode("utf-8", "replace")
+                             or "open failed")
+        self.channels = ch.value
+        self.rate = float(rate.value)
+        self.duration = dur.value if dur.value >= 0 else None
+
+    def read(self, max_frames: int):
+        """-> (channels, n<=max_frames) f32, or None at end of stream."""
+        if self._h is None:
+            return None
+        out = np.empty((self.channels, int(max_frames)), np.float32)
+        pos = ctypes.c_int64()
+        err = ctypes.create_string_buffer(256)
+        n = self._lib.wac_stream_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(max_frames), ctypes.byref(pos), err, 256)
+        if n < 0:
+            raise ValueError(err.value.decode("utf-8", "replace")
+                             or "decode failed")
+        if n == 0:
+            return None
+        self.position = pos.value + n  # next source frame index
+        return out[:, :n]
+
+    def seek(self, seconds: float) -> float:
+        """Container-level seek; returns the actual landing time in
+        seconds (<= seconds at a sync point)."""
+        if not self.seekable:
+            raise ValueError("stream is not seekable")
+        actual = ctypes.c_double()
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.wac_stream_seek(self._h, float(seconds),
+                                       ctypes.byref(actual), err, 256)
+        if rc != 0:
+            raise ValueError(err.value.decode("utf-8", "replace")
+                             or "seek failed")
+        return actual.value
+
+    def close(self):
+        if self._h is not None:
+            self._lib.wac_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __iter__(self):
+        while True:
+            chunk = self.read(8192)
+            if chunk is None:
+                return
+            yield chunk
+
+
+def codec_open_stream(fileobj, seekable=None):
+    """-> CodecStream or None when the codec host is unavailable."""
+    lib = get_codec_lib()
+    if lib is None or not hasattr(lib, "wac_open"):
+        return None
+    return CodecStream(fileobj, seekable=seekable)

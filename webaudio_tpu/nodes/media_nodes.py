@@ -115,7 +115,7 @@ class MediaElementAudioSourceNode(AudioNode):
     def __init__(self, context, media_element):
         super().__init__(context)
         self.media_element = media_element
-        self._channels = media_element._buffer.number_of_channels
+        self._channels = media_element.number_of_channels
 
     def output_channel_count(self, input_counts):
         return [self._channels]

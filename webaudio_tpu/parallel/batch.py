@@ -230,6 +230,48 @@ class GraphBatch:
         return dither_to_i16(np.asarray(out).reshape(b * c, t),
                              seed).reshape(b, c, t)
 
+    def render_u8(self, seed: int = 0):
+        """Render and compand to dithered 8-bit u-law ON DEVICE — a
+        preview-grade bounce that quarters readback bytes vs f32 (the
+        Pallas u-law kernel, ops/dither.py).  Decode host-side with
+        `ops.dither.ulaw_decode_u8`."""
+        out = self.render()
+        b, c, t = out.shape
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            from ..ops.dither import ulaw_to_u8_tpu
+
+            q = ulaw_to_u8_tpu(out.reshape(b * c, t), seed)
+            return q.astype(jnp.uint8).reshape(b, c, t)
+        from ..ops.dither import ulaw_encode_u8
+
+        return ulaw_encode_u8(np.asarray(out).reshape(b * c, t),
+                              seed).reshape(b, c, t)
+
+    def render_stream(self, count: int, updates=None, fetch: str = "i16"):
+        """Double-buffered serving loop: yields `count` host arrays,
+        dispatching batch k+1's render BEFORE fetching batch k so the
+        device computes the next batch while the previous one crosses the
+        host link (the round-2 readback was serial: render, fetch, repeat
+        — transfer time added to compute time instead of hiding under it).
+
+        updates: optional callable (gb, k) -> None run before dispatch k
+        to mutate per-batch inputs (override_param / override_buffer);
+        fetch: 'f32' | 'i16' | 'u8' selects the on-device bounce depth.
+        """
+        dispatch = {"f32": self.render,
+                    "i16": self.render_i16,
+                    "u8": self.render_u8}[fetch]
+        prev = None
+        for k in range(count):
+            if updates is not None:
+                updates(self, k)
+            cur = dispatch()
+            if prev is not None:
+                yield np.asarray(prev)
+            prev = cur
+        if prev is not None:
+            yield np.asarray(prev)
+
 
 def default_mesh(axis: str = "graphs") -> Mesh:
     devs = np.array(jax.devices())
