@@ -195,3 +195,34 @@ def test_media_element_through_graph(tmp_path):
     out = ctx.start_rendering_sync().to_array()
     np.testing.assert_allclose(out, sig[:, :2048], atol=1e-4)
     el.close()
+
+
+@needs_codec
+def test_caf_container_decodes(tmp_path):
+    # CAF coverage (the reference's symphonia features=["all"] would accept
+    # caf; SURVEY item 36): s16-BE LPCM Core Audio Format written here,
+    # decoded through the codec host
+    import struct
+
+    fs = 22050.0
+    n = 4000
+    t = np.arange(n)
+    sig = np.stack([np.sin(2 * np.pi * 440.0 * t / fs),
+                    np.sin(2 * np.pi * 660.0 * t / fs)]) * 0.4
+    codes = np.round(sig * 32767.0).astype(">i2")          # big-endian s16
+
+    desc = struct.pack(">d4sIIIII", fs, b"lpcm", 0, 4, 1, 2, 16)
+    payload = codes.T.reshape(-1).tobytes()                # interleaved
+    data = struct.pack(">I", 0) + payload
+    caf = (b"caff" + struct.pack(">HH", 1, 0)
+           + b"desc" + struct.pack(">q", len(desc)) + desc
+           + b"data" + struct.pack(">q", len(data)) + data)
+    path = os.path.join(str(tmp_path), "t.caf")
+    with open(path, "wb") as f:
+        f.write(caf)
+
+    buf = decode_audio_data(path)
+    assert buf.sample_rate == fs
+    assert buf.number_of_channels == 2
+    got = buf.to_array()[:, :n]
+    np.testing.assert_allclose(got, sig, atol=2e-4)

@@ -79,13 +79,15 @@ def test_worklet_message_port():
     ctx = OfflineAudioContext(1, 128, fs)
     node = ctx.create_audio_worklet(BitcrusherProcessor)
     received = []
-    node._processor.port.set_onmessage(lambda m: received.append(m))
+    # the processor is constructed lazily at first compile; its port pair
+    # exists from node creation (node._proc_port is handed to it later)
+    node._proc_port.set_onmessage(lambda m: received.append(m))
     # node -> processor direction
     node.port.post_message({"hello": 1})
     # processor -> node direction
     back = []
     node.port.set_onmessage(lambda m: back.append(m))
-    node._processor.port.post_message("pong")
+    node._proc_port.post_message("pong")
     assert received == [{"hello": 1}]
     assert back == ["pong"]
 
@@ -347,3 +349,91 @@ def test_online_automation_does_not_recompile():
     cg_after = ctx._cg
     ctx.close_sync()
     assert cg_before is cg_after, "automation events must not force re-trace"
+
+
+def test_worklet_lazy_construction_and_failure_isolation():
+    """The processor is constructed at first compile, not node creation
+    (reference: render-thread construction, worklet.rs:301-321); a ctor
+    that throws silences only that node and fires onprocessorerror."""
+    fs = 48000.0
+    constructed = []
+
+    class TracksCtor(AudioWorkletProcessor):
+        def __init__(self, options=None, port=None):
+            super().__init__(options, port)
+            constructed.append(True)
+
+        def process(self, scope, state, inputs, params):
+            return state, [inputs[0]]
+
+    ctx = OfflineAudioContext(1, 256, fs)
+    src = ctx.create_constant_source(offset=0.5)
+    node = ctx.create_audio_worklet(TracksCtor)
+    src.connect(node)
+    node.connect(ctx.destination)
+    src.start()
+    assert constructed == []          # node creation ran no user code
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    assert constructed == [True]
+    assert out[0] == pytest.approx(0.5)
+
+    class ExplodingCtor(AudioWorkletProcessor):
+        def __init__(self, options=None, port=None):
+            raise RuntimeError("ctor boom")
+
+        def process(self, scope, state, inputs, params):
+            return state, [inputs[0]]
+
+    errors = []
+    ctx = OfflineAudioContext(1, 256, fs)
+    src = ctx.create_constant_source(offset=0.5)
+    bad = ctx.create_audio_worklet(ExplodingCtor)
+    bad.set_onprocessorerror(lambda e: errors.append(e))
+    ok = ctx.create_constant_source(offset=0.25)
+    src.connect(bad)
+    bad.connect(ctx.destination)
+    ok.connect(ctx.destination)
+    src.start()
+    ok.start()
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    # the failed node is silent; the rest of the graph kept rendering
+    assert out[0] == pytest.approx(0.25)
+    assert len(errors) == 1 and "ctor boom" in str(errors[0])
+
+
+def test_worklet_spec_compliant_empty_inputs():
+    """spec-compliant-worklet-inputs analog (worklet.rs:367-385): with the
+    opt-in, a disconnected input arrives as a ZERO-CHANNEL array while a
+    connected-but-silent input stays (C, B) zeros."""
+    fs = 48000.0
+    seen = []
+
+    class InputShapeProbe(AudioWorkletProcessor):
+        spec_compliant_inputs = True
+
+        def process(self, scope, state, inputs, params):
+            seen.append(inputs[0].shape)
+            if inputs[0].shape[0] == 0:
+                return state, [jnp.full((1, inputs[0].shape[1]), 0.125)]
+            return state, [inputs[0]]
+
+    # disconnected input -> zero channels
+    ctx = OfflineAudioContext(1, 256, fs)
+    node = ctx.create_audio_worklet(InputShapeProbe)
+    node.connect(ctx.destination)
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    assert seen and seen[0][0] == 0
+    assert out[0] == pytest.approx(0.125)
+
+    # connected (but silent) input -> (C, B) as usual
+    seen.clear()
+    ctx = OfflineAudioContext(1, 256, fs)
+    silent = ctx.create_gain(gain=0.0)
+    src = ctx.create_constant_source()
+    src.connect(silent)
+    node = ctx.create_audio_worklet(InputShapeProbe)
+    silent.connect(node)
+    node.connect(ctx.destination)
+    src.start()
+    ctx.start_rendering_sync()
+    assert seen and seen[0][0] == 1

@@ -48,6 +48,10 @@ class RenderContext:
     # this node's compiled param timelines (name -> CompiledParam), so
     # kernels can pick const-specialized strategies and read baked values
     param_plans: dict = field(default_factory=dict)
+    # per input port: does any edge feed it?  (the reference's
+    # spec-compliant-worklet-inputs empty-vs-silent distinction,
+    # worklet.rs:367-385)
+    input_connected: list = field(default_factory=list)
 
     @property
     def dt(self) -> float:
@@ -329,6 +333,7 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
 
     # build kernels
     kernels = {}
+    early_failed: dict = {}
     for nid, node in nodes.items():
         rc = RenderContext(
             sample_rate=sample_rate,
@@ -340,8 +345,22 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             start_frame=start_frame,
             param_plans={pname: param_plan[(nid, pname)]
                          for pname in node.params},
+            input_connected=[bool(in_edges[nid][i])
+                             for i in range(node.number_of_inputs)],
         )
-        kernels[nid] = node.make_kernel(rc)
+        try:
+            kernels[nid] = node.make_kernel(rc)
+        except Exception as exc:
+            # a processor whose CONSTRUCTION throws (e.g. a lazy worklet
+            # ctor) is isolated exactly like a process()-time failure: its
+            # outputs are silent, onprocessorerror fires, the rest of the
+            # graph renders (reference: render-thread construction inside
+            # the panic boundary, worklet.rs:301-321 + graph.rs:507-521)
+            early_failed[nid] = exc
+            kernels[nid] = Kernel()
+            cb = getattr(node, "_onprocessorerror", None)
+            if cb is not None:
+                cb(exc)
 
     n_dest_channels = out_counts[dest_id][0] if nodes[dest_id].number_of_outputs else \
         in_counts[dest_id][0]
@@ -361,7 +380,9 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             val = jnp.clip(val, p.min_value, p.max_value)
         return val, None
 
-    failed: dict = {}  # node id -> exception (processor failure isolation)
+    # node id -> exception (processor failure isolation); seeded with
+    # construction-time failures from the kernel-build loop above
+    failed: dict = dict(early_failed)
 
     def block_fn(states, frame0, xs_params, resources=None):
         """One scan step: run every node in topological order."""

@@ -33,6 +33,7 @@ class MessagePort:
     def __init__(self):
         self._onmessage: Optional[Callable] = None
         self._peer: Optional["MessagePort"] = None
+        self._pending: list = []
 
     @staticmethod
     def pair() -> tuple["MessagePort", "MessagePort"]:
@@ -42,10 +43,21 @@ class MessagePort:
 
     def set_onmessage(self, cb: Callable):
         self._onmessage = cb
+        # deliver anything posted before a handler existed (the reference's
+        # channel buffers messages until the render thread drains them,
+        # worklet.rs onmessage / message_port.rs) — with lazy processor
+        # construction the node may post before the processor exists
+        pending, self._pending = self._pending, []
+        for msg in pending:
+            cb(msg)
 
     def post_message(self, msg: Any):
-        if self._peer is not None and self._peer._onmessage is not None:
+        if self._peer is None:
+            return
+        if self._peer._onmessage is not None:
             self._peer._onmessage(msg)
+        else:
+            self._peer._pending.append(msg)
 
 
 class AudioWorkletProcessor:
@@ -70,10 +82,17 @@ class AudioWorkletProcessor:
 class _WorkletKernel(Kernel):
     def __init__(self, processor: AudioWorkletProcessor, rc, n_outputs: int,
                  output_channel_count):
+        import os
+
         self.processor = processor
         self.rc = rc
         self.n_outputs = n_outputs
         self.output_channel_count = output_channel_count
+        # opt-in per processor class or globally via env (mirrors the
+        # reference's cargo feature, off by default)
+        self.spec_inputs = bool(
+            getattr(processor, "spec_compliant_inputs", False)
+            or os.environ.get("WEBAUDIO_SPEC_WORKLET_INPUTS") == "1")
 
     def init_state(self):
         return self.processor.init_state(self.rc)
@@ -85,6 +104,18 @@ class _WorkletKernel(Kernel):
         return hook() if hook is not None else None
 
     def process(self, scope, state, inputs, params):
+        if self.spec_inputs:
+            # spec-compliant empty-input distinction (the reference's
+            # `spec-compliant-worklet-inputs` feature, worklet.rs:367-385
+            # + Cargo.toml:104-107): a DISCONNECTED input port is a
+            # zero-channel array, a connected-but-silent one stays (C, B)
+            # zeros — processors can tell the two apart
+            import jax.numpy as jnp
+
+            connected = self.rc.input_connected
+            inputs = [x if (i < len(connected) and connected[i])
+                      else jnp.zeros((0, x.shape[1]), x.dtype)
+                      for i, x in enumerate(inputs)]
         state, outputs = self.processor.process(scope, state, inputs, params)
         if not isinstance(outputs, (list, tuple)):
             outputs = [outputs]
@@ -118,11 +149,15 @@ class AudioWorkletNode(AudioNode):
 
         node_port, proc_port = MessagePort.pair()
         self.port = node_port
-        # processor constructed eagerly (the reference defers to the render
-        # thread, worklet.rs:301-321; here construction is control-side but
-        # processing is still compiled)
-        self._processor = processor_cls(options=processor_options,
-                                        port=proc_port)
+        # processor constructed LAZILY at first compile — the analog of the
+        # reference constructing it on the render thread at the first
+        # quantum (worklet.rs:301-321): node creation never runs user code;
+        # a constructor that throws surfaces at compile/render time and is
+        # isolated like any processor failure
+        self._processor_cls = processor_cls
+        self._processor_options = processor_options
+        self._proc_port = proc_port
+        self._processor = None
         self._parameters: dict[str, Any] = {}
         for desc in processor_cls.parameter_descriptors():
             p = self._register_param(desc.name, desc)
@@ -144,6 +179,9 @@ class AudioWorkletNode(AudioNode):
         return [1] * self._number_of_outputs
 
     def make_kernel(self, render_ctx):
+        if self._processor is None:
+            self._processor = self._processor_cls(
+                options=self._processor_options, port=self._proc_port)
         return _WorkletKernel(self._processor, render_ctx,
                               self._number_of_outputs,
                               self._output_channel_count)
