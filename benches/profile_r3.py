@@ -297,8 +297,26 @@ SECTIONS = {
 }
 
 
+def warmup():
+    """Pay the per-process remote-compiler cold-start once, up front.
+
+    Measured on this backend (PALLAS_AXON_REMOTE_COMPILE=1): the FIRST
+    compile in a process takes 140-540 s regardless of program size or
+    the persistent compilation cache (the cost is remote service spin-up,
+    not compilation); every later compile in the same process is ~0.4 s.
+    Run all cases in one process."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    v = float(jax.jit(lambda a: (jnp.sin(a) * a).sum())(
+        jnp.arange(128, dtype=jnp.float32)))
+    _emit(section="warmup", cold_start_s=time.perf_counter() - t0)
+
+
 def main():
     names = sys.argv[1:] or list(SECTIONS)
+    warmup()
     for name in names:
         try:
             SECTIONS[name]()

@@ -724,3 +724,52 @@ def test_grain_lane_packing_matches_vb_path():
     scale = max(float(np.abs(unfused).max()), 1e-9)
     np.testing.assert_allclose(lanes, dense, atol=1e-4 * scale)
     np.testing.assert_allclose(lanes, unfused, atol=1e-4 * scale)
+
+
+def test_grain_window_read_matches_gather():
+    """The windowed two-hot grain read (fusion._windowed_fetch) must match
+    the pair-gather formulation to FMA-association tolerance (~1 ulp)."""
+    import os
+
+    fs, seconds = 44100.0, 1.0
+    rng0 = np.random.RandomState(7)
+    grains = [(i * (seconds - 0.2) / 40,
+               0.3 + 0.5 * (i / 40) + rng0.rand() * 0.05,
+               float(0.9 + 0.2 * rng0.rand())) for i in range(40)]
+
+    def render(mode):
+        from webaudio_tpu import OfflineAudioContext
+
+        os.environ["WEBAUDIO_GRAIN_READ"] = mode
+        try:
+            ctx = OfflineAudioContext(2, int(fs * seconds), fs)
+            sample = ctx.decode_audio_data_sync(
+                "/root/reference/samples/sample.wav")
+            for when, offset, rate in grains:
+                src = ctx.create_buffer_source(playback_rate=rate)
+                src.buffer = sample
+                env = ctx.create_gain(gain=0.0)
+                env.gain.set_value_at_time(0.0, when)
+                env.gain.linear_ramp_to_value_at_time(0.4, when + 0.045)
+                env.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+                src.connect(env)
+                env.connect(ctx.destination)
+                src.start(when, offset, 0.09)
+            from webaudio_tpu.graph import compiler as C
+
+            cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                                 ctx.sample_rate, ctx.length,
+                                 ctx._destination.node_id)
+            fused = [k for k in cg.kernels.values()
+                     if type(k).__name__.startswith("_FusedVoices")]
+            assert fused and fused[0].use_lanes
+            active = fused[0].win_W
+            return ctx.start_rendering_sync().to_array(), active
+        finally:
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+    got_g, act_g = render("gather")
+    got_w, act_w = render("window")
+    assert act_g == 0 and act_w > 0  # both paths actually exercised
+    assert np.abs(got_w).max() > 0.01
+    np.testing.assert_allclose(got_w, got_g, atol=2e-6)

@@ -326,6 +326,7 @@ class _FusedVoicesKernel:
 
         self.n = node
         self.fs = rc.sample_rate
+        self.block_frames = rc.block_frames
         self.kind = node.kind
         self.is_const_src = node.kind == "const_src"
         self.is_bufsrc = (isinstance(node.kind, tuple)
@@ -333,6 +334,8 @@ class _FusedVoicesKernel:
         self.is_custom = (not self.is_const_src and not self.is_bufsrc
                           and node.kind == OscillatorType.CUSTOM)
         self.V = len(node.sources)
+        self.win_Qs = 0        # windowed-read geometry (_pick_window)
+        self.win_W = 0
         self.has_gain = node.gains[0] is not None
         self.has_filter = node.filters[0] is not None
         self.has_pan = node.panners[0] is not None
@@ -571,6 +574,45 @@ class _FusedVoicesKernel:
         self.lane_end = lane_endv
         self.lane_voice = lane_voice
         self.K = K
+        self._pick_window()
+
+    def _pick_window(self):
+        """Choose the windowed-read geometry (sub-block Qs, window W).
+
+        The lane path's per-sample pair gathers cost ~7 ns per gathered
+        row on v5e (descriptor-latency-bound) — the granular bench's
+        residual.  Instead, each lane's read span over a Qs-sample
+        sub-block is covered by ONE (C, W) contiguous window slice, and
+        per-sample selection + lerp becomes a (Qs, W) two-hot matmul on
+        the MXU (the same formulation as the waveshaper curve lookup,
+        nodes/waveshaper.py apply_curve — bit-identical to gather+lerp at
+        HIGHEST precision).  HBM cost goes from 16 B/descriptor-latency
+        per sample to ~W/Qs f32 lanes of streamed one-hot per sample.
+
+        Larger Qs amortizes W toward Qs*|rate| (W/Qs -> rmax); the cap
+        keeps the window in comfortable VMEM tiles.  Rates too large for
+        a bounded window fall back to the gather path.
+        """
+        import os
+
+        mode = os.environ.get("WEBAUDIO_GRAIN_READ", "window")
+        self.win_Qs = 0
+        self.win_W = 0
+        if mode == "gather" or not self.use_lanes:
+            return
+        ratio = self.buf_rate / self.fs
+        rmax = float(np.max(np.abs(self.rates))) * ratio
+        # Qs capped at one quantum: a lane's grain identity (hi/lo
+        # variant) can change at quantum boundaries, and a window can only
+        # bound ONE grain's monotonic span
+        for Qs in (128, 64, 32):
+            if self.block_frames % Qs:
+                continue
+            W = 64 * int(np.ceil((Qs * rmax + 6) / 64.0))
+            if W <= 512 and W <= 4 * Qs:
+                self.win_Qs, self.win_W = Qs, W
+                return
+        # rates too extreme for a bounded window: keep the gather path
 
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
@@ -603,6 +645,16 @@ class _FusedVoicesKernel:
                 res["dur_end"] = self.dur_end
                 res["lane_start"] = self.lane_start
                 res["lane_voice"] = self.lane_voice
+                if self.win_W:
+                    # contiguous window layout for the two-hot read:
+                    # (C, L + W + 2) with the end-of-buffer 'next tap'
+                    # constant at column L (reached only by the +1 lerp
+                    # lane when prev_i == L-1, i.e. the `beyond` case)
+                    C, L = self.data_host.shape
+                    dw = np.zeros((C, L + self.win_W + 2), np.float32)
+                    dw[:, :L] = self.data_host
+                    dw[:, L] = edge_vals(self.data_host)
+                    res["data_win"] = dw
                 if self.has_gain:
                     # voice -> dense gain-row slot (-1 = constant gain)
                     lut = np.full(self.V, -1, np.int32)
@@ -651,6 +703,37 @@ class _FusedVoicesKernel:
             st["fdl_spectra"] = fdl["spectra"]
             st["fdl_tail"] = fdl["tail"]
         return st
+
+    def _windowed_fetch(self, data_win, pi, fr):
+        """Two-hot windowed sample fetch (see _pick_window):
+        out[c, k, n] = data[c, pi]*(1-fr) + data[c, pi+1]*fr, where column
+        L of data_win carries the end-of-buffer edge constant.  pi (K, B)
+        clipped to [0, L-1], monotonic within each Qs sub-block (one grain
+        per variant per quantum); returns (C, K, B)."""
+        import jax
+
+        Qs, W = self.win_Qs, self.win_W
+        K, B = pi.shape
+        C = data_win.shape[0]
+        S = B // Qs
+        piq = pi.reshape(K * S, Qs)
+        frq = fr.reshape(K * S, Qs)
+        # monotone within the sub-block -> the min sits at an endpoint
+        w0 = jnp.minimum(piq[:, 0], piq[:, -1])               # (K*S,)
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                data_win, (jnp.int32(0), s), (C, W)))(w0)     # (K*S, C, W)
+        loc = jnp.clip(piq - w0[:, None], 0, W - 2)
+        lanes = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        oh = (jnp.where(lanes == loc[:, :, None],
+                        (1.0 - frq)[:, :, None], 0.0)
+              + jnp.where(lanes == loc[:, :, None] + 1,
+                          frq[:, :, None], 0.0))              # (K*S, Qs, W)
+        out = jax.lax.dot_general(
+            oh, win, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (K*S, Qs, C)
+        return jnp.transpose(out, (2, 0, 1)).reshape(C, K, B)
 
     def _process_grain_lanes(self, scope, state, params):
         """Lane-packed grain rendering: (K, B) work instead of (V, B).
@@ -741,17 +824,38 @@ class _FusedVoicesKernel:
         frac = delta - dfloor
         valid = sched & (idx >= 0) & (idx <= L - 1)
 
-        prev_i = jnp.clip(idx, 0, L - 1).reshape(K, B)
-        fr = frac.reshape(K, B)
-        beyond = prev_i + 1 >= L
-        # both lerp taps in one row gather (ops/bufread.py); the
-        # end-of-buffer extrapolation 2*x[L-1]-x[L-2] is a staged constant
-        from ..ops.bufread import gather_pairs
-        a, b = gather_pairs(r["data_rows"], prev_i)           # (C, K, B)
-        edge = jnp.where(((fr >= 1.0 - 1e-6) | (prev_i == 0))[None],
-                         0.0, r["edge_vals"][:, None, None])
-        b = jnp.where(beyond[None], edge, b)
-        smp = a * (1.0 - fr)[None] + b * fr[None]
+        if self.win_W:
+            # windowed two-hot read: fetch each variant's samples through
+            # per-(lane, sub-block) contiguous windows + an MXU two-hot
+            # contraction, then select per sample — bit-identical to the
+            # pair-gather path but free of per-sample HBM descriptors
+            def smp_of(var):
+                d = var["base_f"][..., None] + \
+                    var["rate32"][..., None] * j[None, None, :]
+                dfl = jnp.floor(d)
+                iv = var["base_i"][..., None] + dfl.astype(jnp.int32)
+                frv = (d - dfl).reshape(K, B)
+                piv = jnp.clip(iv, 0, L - 1).reshape(K, B)
+                s = self._windowed_fetch(r["data_win"], piv, frv)
+                cond = (piv + 1 >= L) & ((frv >= 1.0 - 1e-6) | (piv == 0))
+                return s - r["edge_vals"][:, None, None] * \
+                    jnp.where(cond, frv, 0.0)[None]
+
+            smp = jnp.where(use_hi.reshape(K, B)[None],
+                            smp_of(hi), smp_of(lo))
+        else:
+            prev_i = jnp.clip(idx, 0, L - 1).reshape(K, B)
+            fr = frac.reshape(K, B)
+            beyond = prev_i + 1 >= L
+            # both lerp taps in one row gather (ops/bufread.py); the
+            # end-of-buffer extrapolation 2*x[L-1]-x[L-2] is a staged
+            # constant
+            from ..ops.bufread import gather_pairs
+            a, b = gather_pairs(r["data_rows"], prev_i)       # (C, K, B)
+            edge = jnp.where(((fr >= 1.0 - 1e-6) | (prev_i == 0))[None],
+                             0.0, r["edge_vals"][:, None, None])
+            b = jnp.where(beyond[None], edge, b)
+            smp = a * (1.0 - fr)[None] + b * fr[None]
         voices = jnp.where(valid.reshape(K, B)[None], smp, 0.0)
 
         if self.has_gain:
