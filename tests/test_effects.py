@@ -336,3 +336,81 @@ def test_detector_fixed_point_matches_sequential():
         fp = np.asarray(_detector_fixed_point(y0, jnp.asarray(x), at, rt))
         scale = max(np.abs(ref).max(), 1e-6)
         assert np.abs(ref - fp).max() / scale < 1e-4, (kind, B)
+
+
+def test_detector_chunked_matches_sequential():
+    """The constant-tau chunked MXU detector (dynamics_compressor.
+    _detector_fixed_point_chunked) must match the per-sample recurrence to
+    the same 1e-4 relative tolerance as the generic fixed point."""
+    import jax.numpy as jnp
+    from webaudio_tpu.nodes.dynamics_compressor import (
+        _detector_fixed_point_chunked, _detector_sequential, chunked_taus_ok)
+
+    rng = np.random.RandomState(11)
+    fs = 48000.0
+    for kind in range(8):
+        B = [128, 513, 4096, 16384, 1000, 131072, 20000, 129][kind]
+        if kind % 3 == 0:
+            x = np.abs(rng.randn(B)).astype(np.float32) * 30
+        elif kind % 3 == 1:
+            x = np.zeros(B, np.float32)
+            x[B // 4: B // 2] = 25.0
+        else:
+            t = np.arange(B)
+            x = (20 * np.abs(np.sin(2 * np.pi * t / 997))
+                 + rng.randn(B)).astype(np.float32)
+        a = float(np.exp(-1 / (rng.uniform(0.001, 0.05) * fs)))
+        r = float(np.exp(-1 / (rng.uniform(0.01, 1.0) * fs)))
+        assert chunked_taus_ok(a, r)
+        at = jnp.full((B,), np.float32(a))
+        rt = jnp.full((B,), np.float32(r))
+        y0 = jnp.float32(rng.uniform(0, 10))
+        ref = np.asarray(_detector_sequential(y0, jnp.asarray(x), at, rt))
+        ch = np.asarray(_detector_fixed_point_chunked(
+            y0, jnp.asarray(x), a, r))
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(ref - ch).max() / scale < 1e-4, (kind, B)
+    # range guard: sub-chunk-collapse taus must be rejected
+    assert not chunked_taus_ok(0.0, 0.99)
+    assert not chunked_taus_ok(0.5, 0.99)
+
+
+def test_compressor_kernel_uses_chunked_detector():
+    """End-to-end: a compressor with constant k-rate params renders through
+    the chunked detector and matches the WEBAUDIO_DETECTOR=seq render."""
+    import os
+    from webaudio_tpu import OfflineAudioContext
+
+    def render(mode):
+        os.environ["WEBAUDIO_DETECTOR"] = mode
+        try:
+            fs = 48000.0
+            n = 8192
+            ctx = OfflineAudioContext(2, n, fs)
+            buf = ctx.create_buffer(2, n, fs)
+            rng = np.random.RandomState(3)
+            for c in range(2):
+                buf.copy_to_channel(
+                    (rng.randn(n) * 0.5).astype(np.float32), c)
+            src = ctx.create_buffer_source()
+            src.buffer = buf
+            comp = ctx.create_dynamics_compressor(threshold=-20.0, ratio=6.0)
+            src.connect(comp)
+            comp.connect(ctx.destination)
+            src.start()
+            from webaudio_tpu.graph import compiler as C
+
+            cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                                 ctx.sample_rate, ctx.length,
+                                 ctx._destination.node_id)
+            kern = next(k for k in cg.kernels.values()
+                        if type(k).__name__ == "_CompressorKernel")
+            assert kern.const_taus is not None
+            return ctx.start_rendering_sync().to_array()
+        finally:
+            os.environ.pop("WEBAUDIO_DETECTOR", None)
+
+    seq = render("seq")
+    ch = render("chunked")
+    scale = max(float(np.abs(seq).max()), 1e-9)
+    np.testing.assert_allclose(ch, seq, atol=2e-4 * scale)
