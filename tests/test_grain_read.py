@@ -1,0 +1,117 @@
+"""ops/grain_read.py: the fused Pallas windowed-read kernel (interpret
+mode on CPU) against the numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from webaudio_tpu.ops.grain_read import (
+    G, windowed_read_reference, windowed_read_tpu)
+
+
+def test_windowed_read_kernel_interpret_matches_oracle():
+    rng = np.random.default_rng(5)
+    C, L, Qs, W = 2, 5000, 128, 192
+    NB = 37  # exercises the G-padding path
+    data = np.zeros((C, L + W + 2), np.float32)
+    data[:, :L] = rng.standard_normal((C, L)).astype(np.float32)
+    w0 = rng.integers(0, L - W, size=NB).astype(np.int32)
+    loc = rng.integers(0, W - 2, size=(NB, Qs)).astype(np.int32)
+    frac = rng.random((NB, Qs)).astype(np.float32)
+
+    got = np.asarray(windowed_read_tpu(
+        jnp.asarray(data), jnp.asarray(w0), jnp.asarray(loc),
+        jnp.asarray(frac), Qs, W, interpret=True))
+    ref = windowed_read_reference(data, w0, loc, frac)
+    assert got.shape == ref.shape == (C, NB, Qs)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    assert NB % G != 0  # padding actually exercised
+
+
+def _bufsrc_render(mode, loop, rate=1.0, buf_rate=44100.0, offset=0.1,
+                   stop=None, n=8192, fs=48000.0):
+    import os
+
+    from webaudio_tpu import OfflineAudioContext
+
+    os.environ["WEBAUDIO_GRAIN_READ"] = mode
+    try:
+        ctx = OfflineAudioContext(2, n, fs)
+        L = 9000
+        buf = ctx.create_buffer(2, L, buf_rate)
+        rng = np.random.default_rng(9)
+        for c in range(2):
+            buf.copy_to_channel(
+                rng.standard_normal(L).astype(np.float32) * 0.5, c)
+        src = ctx.create_buffer_source(loop=loop, playback_rate=rate)
+        src.buffer = buf
+        src.connect(ctx.destination)
+        src.start(64.5 / fs, offset)
+        if stop:
+            src.stop(stop)
+        from webaudio_tpu.graph import compiler as C
+
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        kern = next(k for k in cg.kernels.values()
+                    if type(k).__name__ == "_BufferSourceKernel")
+        return ctx.start_rendering_sync().to_array(), kern.win_W
+    finally:
+        os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+
+def test_bufsrc_windowed_matches_gather():
+    """Const-rate buffer source: the windowed read must match the pair
+    gathers (whole-buffer loop incl. the wrap seam, non-loop incl. the
+    end-of-buffer extrapolation, sub-sample start, early stop)."""
+    for loop in (True, False):
+        for rate in (1.0, 0.937, 1.21):
+            g, wg = _bufsrc_render("gather", loop, rate)
+            w, ww = _bufsrc_render("window", loop, rate)
+            assert wg == 0 and ww > 0, (loop, rate)
+            assert np.abs(g).max() > 0.01
+            np.testing.assert_allclose(
+                w, g, atol=3e-6, err_msg=f"loop={loop} rate={rate}")
+    # early stop + offset deep into the buffer
+    g, _ = _bufsrc_render("gather", True, 1.05, offset=0.15, stop=0.08)
+    w, _ = _bufsrc_render("window", True, 1.05, offset=0.15, stop=0.08)
+    assert np.abs(g).max() > 0.01
+    np.testing.assert_allclose(w, g, atol=3e-6)
+
+
+def test_bufsrc_partial_loop_keeps_gather():
+    """Partial loops (fractional loop length) are ineligible for the
+    windowed read even when forced."""
+    import os
+
+    from webaudio_tpu import OfflineAudioContext
+
+    os.environ["WEBAUDIO_GRAIN_READ"] = "window"
+    try:
+        fs = 48000.0
+        ctx = OfflineAudioContext(1, 4096, fs)
+        buf = ctx.create_buffer(1, 8000, fs)
+        buf.copy_to_channel(np.sin(np.arange(8000) * 0.01).astype(np.float32), 0)
+        src = ctx.create_buffer_source(loop=True)
+        src.buffer = buf
+        src.loop_start = 0.01
+        src.loop_end = 0.05
+        src.connect(ctx.destination)
+        src.start()
+        from webaudio_tpu.graph import compiler as C
+
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        kern = next(k for k in cg.kernels.values()
+                    if type(k).__name__ == "_BufferSourceKernel")
+        assert kern.win_W == 0
+    finally:
+        os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+
+def test_bufsrc_windowed_reverse_loop():
+    g, _ = _bufsrc_render("gather", True, -0.98, offset=0.1)
+    w, _ = _bufsrc_render("window", True, -0.98, offset=0.1)
+    assert np.abs(g).max() > 0.01
+    np.testing.assert_allclose(w, g, atol=3e-6)

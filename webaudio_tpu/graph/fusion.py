@@ -595,24 +595,33 @@ class _FusedVoicesKernel:
         """
         import os
 
-        mode = os.environ.get("WEBAUDIO_GRAIN_READ", "window")
+        # Mode selection: on TPU the windowed read runs as the fused
+        # Pallas kernel (ops/grain_read.py) where the two-hot never
+        # leaves VMEM.  The pure-XLA window formulation is only used when
+        # forced (WEBAUDIO_GRAIN_READ=window off-TPU, for tests): XLA
+        # lowers the batched small-N contraction as a broadcast-multiply-
+        # reduce that materializes the full (batch, Qs, W) product —
+        # measured 2.4x SLOWER than the gathers on v5e (suite granular
+        # 439x -> 180x).  WEBAUDIO_GRAIN_READ=gather forces gathers.
+        import jax as _jax
+
+        mode = os.environ.get("WEBAUDIO_GRAIN_READ", "auto")
         self.win_Qs = 0
         self.win_W = 0
         if mode == "gather" or not self.use_lanes:
             return
+        if mode == "auto" and \
+                _jax.devices()[0].platform not in ("tpu", "axon"):
+            return
+        from ..ops.grain_read import pick_window
+
         ratio = self.buf_rate / self.fs
         rmax = float(np.max(np.abs(self.rates))) * ratio
         # Qs capped at one quantum: a lane's grain identity (hi/lo
         # variant) can change at quantum boundaries, and a window can only
         # bound ONE grain's monotonic span
-        for Qs in (128, 64, 32):
-            if self.block_frames % Qs:
-                continue
-            W = 64 * int(np.ceil((Qs * rmax + 6) / 64.0))
-            if W <= 512 and W <= 4 * Qs:
-                self.win_Qs, self.win_W = Qs, W
-                return
-        # rates too extreme for a bounded window: keep the gather path
+        self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)
+        # rates too extreme for a bounded window keep the gather path
 
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
@@ -712,28 +721,11 @@ class _FusedVoicesKernel:
         per variant per quantum); returns (C, K, B)."""
         import jax
 
-        Qs, W = self.win_Qs, self.win_W
+        from ..ops.grain_read import windowed_lerp
+
         K, B = pi.shape
         C = data_win.shape[0]
-        S = B // Qs
-        piq = pi.reshape(K * S, Qs)
-        frq = fr.reshape(K * S, Qs)
-        # monotone within the sub-block -> the min sits at an endpoint
-        w0 = jnp.minimum(piq[:, 0], piq[:, -1])               # (K*S,)
-        win = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(
-                data_win, (jnp.int32(0), s), (C, W)))(w0)     # (K*S, C, W)
-        loc = jnp.clip(piq - w0[:, None], 0, W - 2)
-        lanes = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-        oh = (jnp.where(lanes == loc[:, :, None],
-                        (1.0 - frq)[:, :, None], 0.0)
-              + jnp.where(lanes == loc[:, :, None] + 1,
-                          frq[:, :, None], 0.0))              # (K*S, Qs, W)
-        out = jax.lax.dot_general(
-            oh, win, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (K*S, Qs, C)
-        return jnp.transpose(out, (2, 0, 1)).reshape(C, K, B)
+        return windowed_lerp(data_win, pi, fr, self.win_Qs, self.win_W)
 
     def _process_grain_lanes(self, scope, state, params):
         """Lane-packed grain rendering: (K, B) work instead of (V, B).

@@ -95,6 +95,37 @@ class _BufferSourceKernel(Kernel):
             self.loop_start, self.loop_end = ls, le
         else:
             self.loop_start, self.loop_end = 0.0, self.buf_duration
+        self._pick_window(rc)
+
+    def _pick_window(self, rc):
+        """Windowed-read geometry (ops/grain_read.py): constant-rate
+        playback fetches per-sub-block contiguous windows + a VMEM two-hot
+        (the fused Pallas kernel) instead of one pair-row gather per
+        sample — the gathers are the ~7 ns/sample floor under every
+        buffer-source bench case.  Eligible: const rate with either no
+        loop (monotone playhead) or a WHOLE-buffer loop (integral loop
+        length, so the wrap is a mod in index space and the window layout
+        carries the loop continuation).  Partial/fractional loops and
+        a-rate playback keep the gathers."""
+        import os
+        import jax as _jax
+
+        self.win_Qs = 0
+        self.win_W = 0
+        self.whole_loop = bool(
+            self.loop and self.loop_start <= 0.0
+            and self.loop_end >= self.buf_duration - 1e-9)
+        mode = os.environ.get("WEBAUDIO_GRAIN_READ", "auto")
+        if mode == "gather" or self.const_rate is None or \
+                not self.has_buffer or (self.loop and not self.whole_loop):
+            return
+        if mode == "auto" and \
+                _jax.devices()[0].platform not in ("tpu", "axon"):
+            return
+        from ..ops.grain_read import pick_window
+
+        rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
+        self.win_Qs, self.win_W = pick_window(rmax, rc.block_frames)
 
     def resources(self):
         if self.data_host is None:
@@ -109,8 +140,34 @@ class _BufferSourceKernel(Kernel):
         # segment a loop_start change is not observable — a documented
         # static-compile deviation.
         wrap = int(math.ceil(self.loop_start * self.buf_rate))
-        return {"data_rows": pair_rows(self.data_host),
-                "edge_vals": edge_vals(self.data_host, self.loop, wrap)}
+        res = {"data_rows": pair_rows(self.data_host),
+               "edge_vals": edge_vals(self.data_host, self.loop, wrap)}
+        if self.win_W:
+            res["data_ext"] = self._window_data()
+        return res
+
+    def _window_data(self):
+        """(C, L + W + 2) window layout: whole-buffer loops copy the loop
+        continuation past column L (reads cross the seam linearly);
+        non-looping sources put the linear-extrapolation 'next tap'
+        constant at column L (reached only when prev_i == L-1)."""
+        import numpy as np
+
+        from ..ops.bufread import edge_vals as _edge
+
+        C, L = self.data_host.shape
+        W = self.win_W
+        ext = np.zeros((C, L + W + 2), np.float32)
+        ext[:, :L] = self.data_host
+        if self.whole_loop:
+            n = min(W + 2, L)
+            ext[:, L:L + n] = self.data_host[:, :n]
+            if W + 2 > L:  # pathological tiny buffer: keep tiling
+                for q in range(L + n, L + W + 2):
+                    ext[:, q] = self.data_host[:, (q - L) % L]
+        else:
+            ext[:, L] = _edge(self.data_host, False, 0)
+        return ext
 
     def tail_frames(self):
         return 0 if (self.const_rate is not None or not self.has_buffer) \
@@ -180,7 +237,7 @@ class _BufferSourceKernel(Kernel):
             pos_eff = pos
 
         valid = active & (pos_eff >= 0.0) & (pos_eff < L)
-        out = self._fetch(scope, pos_eff, valid)
+        out = self._fetch(scope, pos_eff, valid, unwrapped=pos)
         # keep the playhead state current for position() readback and for
         # a-rate re-traces that take over mid-stream
         start_i = min(self.start_frame, 2**31 - 1)
@@ -206,9 +263,11 @@ class _BufferSourceKernel(Kernel):
         }
         return new_state, [out]
 
-    def _fetch(self, scope, playhead, valid):
+    def _fetch(self, scope, playhead, valid, unwrapped=None):
         from ..ops.bufread import gather_pairs
 
+        if self.win_W:
+            return self._fetch_windowed(scope, playhead, valid, unwrapped)
         floored = jnp.floor(playhead)
         prev_i = jnp.clip(floored.astype(jnp.int32), 0, self.buf_len - 1)
         k = (playhead - floored).astype(jnp.float32)
@@ -229,6 +288,43 @@ class _BufferSourceKernel(Kernel):
                              0.0, edge_c)
             b = jnp.where(beyond[None, :], edge, b)
         out = a * (1.0 - k) + b * k
+        return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
+
+    def _fetch_windowed(self, scope, playhead, valid, unwrapped):
+        """Windowed two-hot fetch (see _pick_window / ops/grain_read.py).
+
+        Whole-buffer loops index by the UNWRAPPED (monotone) playhead —
+        the wrap is a mod of the window start, and the window layout
+        carries the loop continuation past the seam.  Loop-wrap float
+        positions can differ from the gather path's wrapped f64 values by
+        ~m*eps sample units; lerp continuity bounds the output deviation
+        to ~1 ulp (the gather path remains the oracle in tests)."""
+        from ..ops.grain_read import windowed_lerp
+
+        L = self.buf_len
+        if self.loop:  # whole-buffer loop (guaranteed by _pick_window)
+            base = unwrapped
+            fl = jnp.floor(base)
+            u = jnp.clip(fl, -2.0 ** 30, 2.0 ** 30).astype(jnp.int32)
+            wrap_len = L
+        else:
+            base = playhead
+            fl = jnp.floor(base)
+            u = jnp.clip(fl, 0.0, float(L - 1)).astype(jnp.int32)
+            wrap_len = 0
+        k = (base - fl).astype(jnp.float32)
+        out = windowed_lerp(
+            scope.node_resources["data_ext"], u[None, :], k[None, :],
+            self.win_Qs, self.win_W, wrap_len)[:, 0, :]
+        if not self.loop:
+            # non-loop end-of-buffer corrections (the gather path's
+            # `edge` special cases): column L already holds the linear
+            # extrapolation constant; zero it back out when k ~= 1 or the
+            # buffer has a single sample
+            beyond = u + 1 >= L
+            cond = beyond & ((k >= 1.0 - 1e-6) | (u == 0))
+            out = out - scope.node_resources["edge_vals"][:, None] * \
+                jnp.where(cond, k, 0.0)[None, :]
         return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
 
     def _process_cumsum(self, scope, state, inputs, params):

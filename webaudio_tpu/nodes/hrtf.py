@@ -224,9 +224,24 @@ class HrtfPannerKernel(Kernel):
         vids = scope.node_resources["grid_vids"][az_i, el_i]   # (nq, 3)
         w = scope.node_resources["grid_w"][az_i, el_i]         # (nq, 3)
 
-        # interpolate spectra: (nq, 2, K, P+1)
-        vspec = spectra[vids]                        # (nq, 3, 2, K, P+1)
-        h = jnp.einsum("qv,qvekf->qekf", w.astype(jnp.complex64), vspec)
+        # interpolate spectra: one barycentric MATMUL over all vertices
+        # instead of a (nq, 3, 2, K, P+1) spectra gather + einsum — the
+        # sparse 3-vertex interpolation IS a (nq, V) x (V, F) contraction,
+        # and the (nq, V) weight matrix is a scattered one-hot built from
+        # two tiny grid gathers
+        V = spectra.shape[0]
+        F = spectra.shape[1] * spectra.shape[2] * spectra.shape[3]
+        Wb = jnp.sum(
+            (vids[:, :, None] == jnp.arange(V, dtype=jnp.int32)[None, None])
+            .astype(jnp.float32) * w[:, :, None], axis=1)      # (nq, V)
+        flat = spectra.reshape(V, F)
+        hp_ = jax.lax.Precision.HIGHEST
+        hre = jnp.dot(Wb, jnp.real(flat), precision=hp_,
+                      preferred_element_type=jnp.float32)
+        him = jnp.dot(Wb, jnp.imag(flat), precision=hp_,
+                      preferred_element_type=jnp.float32)
+        h = jax.lax.complex(hre, him).reshape(
+            (nq,) + spectra.shape[1:])                         # (nq,2,K,P+1)
 
         # previous-direction spectra, shifted one quantum (the hrtf crate
         # crossfades prev->new HRIR within each block; the very first block

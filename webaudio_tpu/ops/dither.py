@@ -100,7 +100,9 @@ def _ulaw_kernel(seed_ref, x_ref, out_ref):
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = jnp.clip(x_ref[...], -1.0, 1.0)
-    y = jnp.sign(x) * jnp.log1p(_MU * jnp.abs(x)) / np.log(1.0 + _MU)
+    # constants must be f32 inside the kernel (no f64 on TPU Pallas)
+    inv_log = jnp.float32(1.0 / np.log(1.0 + _MU))
+    y = jnp.sign(x) * jnp.log1p(jnp.float32(_MU) * jnp.abs(x)) * inv_log
     scaled = (y * 0.5 + 0.5) * 255.0
     bits = pltpu.prng_random_bits(scaled.shape)
     u = bits.astype(jnp.float32) / jnp.float32(2**32) + 0.5

@@ -1,0 +1,169 @@
+"""Windowed two-hot buffer reads as a fused Pallas kernel.
+
+The fused grain-bank's read path (graph/fusion.py::_windowed_fetch)
+fetches, per (lane, sub-block), one contiguous (C, W) window and selects/
+lerps per-sample values with a (W, Qs) two-hot contraction.  In plain XLA
+that batched small-N dot lowers to a broadcast-multiply-reduce which
+materializes the full (batch, Qs, W) one-hot in HBM — slower than the
+per-sample gathers it replaces.  Here the whole read runs as ONE Pallas
+kernel: window slices are DMA'd HBM->VMEM, the two-hot is built in
+registers and contracted on the MXU, and only x/y-sized tensors touch
+HBM.
+
+Numerics match the XLA formulation (two nonzero lanes -> a*(1-f) + b*f,
+f32 accumulate) — covered by the interpret-mode unit test and the lane
+kernel's gather-vs-window regression.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+G = 16   # windows processed per grid step
+
+
+def _kernel(w0_ref, data_ref, loc_ref, frac_ref, out_ref, win, sems, *,
+            W: int, C: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(w0_ref[i * G + j], W)],
+            win.at[j], sems.at[j])
+
+    for j in range(G):
+        dma(j).start()
+    for j in range(G):
+        dma(j).wait()
+        loc = loc_ref[j, :][None, :]                       # (1, Qs)
+        fr = frac_ref[j, :][None, :]
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (W, loc.shape[1]), 0)               # (W, Qs)
+        ohT = (jnp.where(lanes == loc, 1.0 - fr, 0.0)
+               + jnp.where(lanes == loc + 1, fr, 0.0))     # (W, Qs)
+        y = jax.lax.dot_general(
+            win[j], ohT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (C, Qs)
+        out_ref[:, j, :] = y
+
+
+@functools.partial(jax.jit, static_argnames=("Qs", "W", "interpret"))
+def windowed_read_tpu(data_win, w0, loc, frac, Qs: int, W: int,
+                      interpret: bool = False):
+    """data_win (C, Lp) f32; w0 (NB,) i32 window starts; loc (NB, Qs) i32
+    in [0, W-2]; frac (NB, Qs) f32 -> (C, NB, Qs) f32 lerped samples."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = data_win.shape[0]
+    NB = w0.shape[0]
+    pad = (-NB) % G
+    if pad:
+        w0 = jnp.pad(w0, (0, pad))
+        loc = jnp.pad(loc, ((0, pad), (0, 0)))
+        frac = jnp.pad(frac, ((0, pad), (0, 0)))
+    NBp = NB + pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NBp // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # data (manual DMA)
+            pl.BlockSpec((G, Qs), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Qs), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, G, Qs), lambda i, w0: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((G,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, W=W, C=C),
+        out_shape=jax.ShapeDtypeStruct((C, NBp, Qs), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(w0, data_win, loc, frac)
+    return out[:, :NB, :]
+
+
+def windowed_read_reference(data_win, w0, loc, frac):
+    """Pure-numpy oracle for the kernel (tests)."""
+    data = np.asarray(data_win)
+    w0 = np.asarray(w0)
+    loc = np.asarray(loc)
+    frac = np.asarray(frac)
+    C = data.shape[0]
+    NB, Qs = loc.shape
+    out = np.zeros((C, NB, Qs), np.float32)
+    for b in range(NB):
+        idx = w0[b] + loc[b]
+        a = data[:, idx]
+        bb = data[:, idx + 1]
+        out[:, b, :] = a * (1 - frac[b]) + bb * frac[b]
+    return out
+
+
+def windowed_lerp(data_win, pi, fr, Qs: int, W: int, wrap_len: int = 0):
+    """Shared windowed two-hot fetch: pi/fr (R, B) int32/f32 (monotone per
+    Qs sub-block) -> (C, R, B).
+
+    `wrap_len > 0` serves whole-buffer loops: pi is the UNWRAPPED
+    (monotone) sample index, the window start wraps mod wrap_len, and
+    data_win carries the loop continuation copied past column wrap_len —
+    so in-window offsets stay linear across the seam (valid only when the
+    loop length is integral, i.e. loop spans the whole buffer).
+
+    Dispatches to the fused Pallas kernel on TPU; elsewhere evaluates the
+    XLA dot formulation (numerically identical, used by tests)."""
+    R, B = pi.shape
+    C = data_win.shape[0]
+    S = B // Qs
+    piq = pi.reshape(R * S, Qs)
+    frq = fr.reshape(R * S, Qs)
+    # monotone within the sub-block -> the min sits at an endpoint
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                  # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, W - 2)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        out = windowed_read_tpu(data_win, w0, loc, frq, Qs, W)
+        return out.reshape(C, R, B)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            data_win, (jnp.int32(0), s), (C, W)))(w0)        # (R*S, C, W)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    oh = (jnp.where(lanes == loc[:, :, None],
+                    (1.0 - frq)[:, :, None], 0.0)
+          + jnp.where(lanes == loc[:, :, None] + 1,
+                      frq[:, :, None], 0.0))                 # (R*S, Qs, W)
+    out = jax.lax.dot_general(
+        oh, win, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (R*S, Qs, C)
+    return jnp.transpose(out, (2, 0, 1)).reshape(C, R, B)
+
+
+def pick_window(rmax: float, block_frames: int):
+    """(Qs, W) windowed-read geometry for max |buffer-samples per output
+    frame| `rmax`, or (0, 0) when no bounded window fits.  Qs stays <= one
+    render quantum (callers' per-quantum grain/variant switches bound the
+    monotone span)."""
+    for Qs in (128, 64, 32):
+        if block_frames % Qs:
+            continue
+        W = 64 * int(np.ceil((Qs * rmax + 6) / 64.0))
+        if W <= 512 and W <= 4 * Qs:
+            return Qs, W
+    return 0, 0

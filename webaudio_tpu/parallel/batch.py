@@ -144,6 +144,18 @@ class GraphBatch:
                 [edge_vals(inst, loop, wrap) for inst in stacked])
             self._batched_resources.add((nk, "data_rows"))
             self._batched_resources.add((nk, "edge_vals"))
+            if "data_ext" in self._resources[nk]:
+                # windowed-read kernels also stage the window layout
+                exts = []
+                for inst in stacked:
+                    saved = kern.data_host
+                    kern.data_host = inst
+                    try:
+                        exts.append(kern._window_data())
+                    finally:
+                        kern.data_host = saved
+                self._resources[nk]["data_ext"] = np.stack(exts)
+                self._batched_resources.add((nk, "data_ext"))
             self._staged = None
             self._fn = None
             return
