@@ -95,15 +95,25 @@ def _measure(ctx, seconds, runs=5):
     peak = _force(lambda: probe(out))
     compile_s = time.perf_counter() - t0
     assert np.isfinite(peak) and peak > 0.0, f"invalid render (peak={peak})"
-    # throughput: pipeline `runs` renders, fence once at the end (the
-    # device stream is in-order, so the final probe bounds them all)
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
-    _force(lambda: probe(out))
-    wall = (time.perf_counter() - t0) / runs
+    # throughput: >=3 independent fenced trials (tunnel dispatch-state
+    # drift is ~±20-50% run-to-run; the artifact carries the spread);
+    # within a trial, pipeline `runs` renders and fence once at the end
+    # (the device stream is in-order, so the final probe bounds them all)
+    factors = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        _force(lambda: probe(out))
+        factors.append(seconds / ((time.perf_counter() - t0) / runs))
+    factors.sort()
+    wall = seconds / factors[len(factors) // 2]
     flops, nbytes = _cost_analysis(cg, ctx.length)
-    return seconds / wall, compile_s, _roofline_fields(flops, nbytes, wall)
+    fields = _roofline_fields(flops, nbytes, wall)
+    fields["runs"] = [round(f, 1) for f in factors]
+    fields["spread_pct"] = round(
+        100.0 * (factors[-1] - factors[0]) / factors[len(factors) // 2], 1)
+    return factors[len(factors) // 2], compile_s, fields
 
 
 def case_buffer_biquad():

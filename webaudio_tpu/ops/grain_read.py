@@ -31,11 +31,14 @@ def _kernel(w0_ref, data_ref, loc_ref, frac_ref, out_ref, win, sems, *,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    # every index must stay i32: with jax_enable_x64 on, stray Python-int
+    # promotion to i64 trips Mosaic ('tpu.memref_slice' wants i32)
+    i = jnp.int32(pl.program_id(0))
 
     def dma(j):
+        s = jnp.int32(w0_ref[i * jnp.int32(G) + jnp.int32(j)])
         return pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(w0_ref[i * G + j], W)],
+            data_ref.at[:, pl.ds(s, W)],
             win.at[j], sems.at[j])
 
     for j in range(G):
@@ -66,6 +69,8 @@ def windowed_read_tpu(data_win, w0, loc, frac, Qs: int, W: int,
     C = data_win.shape[0]
     NB = w0.shape[0]
     pad = (-NB) % G
+    w0 = w0.astype(jnp.int32)
+    loc = loc.astype(jnp.int32)
     if pad:
         w0 = jnp.pad(w0, (0, pad))
         loc = jnp.pad(loc, ((0, pad), (0, 0)))
