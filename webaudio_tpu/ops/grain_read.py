@@ -36,10 +36,11 @@ def _kernel(w0_ref, data_ref, loc_ref, frac_ref, out_ref, win, sems, *,
     i = jnp.int32(pl.program_id(0))
 
     def dma(j):
-        s = jnp.int32(w0_ref[i * jnp.int32(G) + jnp.int32(j)])
+        j32 = jnp.int32(j)   # python ints lift to i64 under x64
+        s = jnp.int32(w0_ref[i * jnp.int32(G) + j32])
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(s, W)],
-            win.at[j], sems.at[j])
+            win.at[j32], sems.at[j32])
 
     for j in range(G):
         dma(j).start()
@@ -47,12 +48,14 @@ def _kernel(w0_ref, data_ref, loc_ref, frac_ref, out_ref, win, sems, *,
         dma(j).wait()
         loc = loc_ref[j, :][None, :]                       # (1, Qs)
         fr = frac_ref[j, :][None, :]
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (W, loc.shape[1]), 0)               # (W, Qs)
-        ohT = (jnp.where(lanes == loc, 1.0 - fr, 0.0)
-               + jnp.where(lanes == loc + 1, fr, 0.0))     # (W, Qs)
+        ohT = (jnp.where(lanes == loc, one - fr, zero)
+               + jnp.where(lanes == loc + jnp.int32(1), fr, zero))  # (W, Qs)
         y = jax.lax.dot_general(
-            win[j], ohT, (((1,), (0,)), ((), ())),
+            win[jnp.int32(j)], ohT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)           # (C, Qs)
         out_ref[:, j, :] = y
