@@ -115,3 +115,29 @@ def test_bufsrc_windowed_reverse_loop():
     w, _ = _bufsrc_render("window", True, -0.98, offset=0.1)
     assert np.abs(g).max() > 0.01
     np.testing.assert_allclose(w, g, atol=3e-6)
+
+
+def test_curve_kernel_interpret_matches_apply_curve():
+    """ops/curve_kernel.py (interpret mode) vs the XLA apply_curve path."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.nodes.waveshaper import _SEG, apply_curve
+    from webaudio_tpu.ops.curve_kernel import curve_lookup_tpu
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1.3, 1.3, size=3000).astype(np.float32)
+    for n in (3, 257, 2049):
+        grid = np.linspace(-1, 1, n)
+        curve = np.tanh(2.5 * grid).astype(np.float32)
+        ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+        # rebuild the segment table exactly as apply_curve does
+        nseg = -(-n // _SEG)
+        npad = nseg * _SEG
+        cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
+                                                      (npad + 1 - n,))])
+        T = np.zeros((nseg, _SEG + 1), np.float32)
+        T[:, :_SEG] = cpad[:npad].reshape(nseg, _SEG)
+        T[:, _SEG] = cpad[_SEG::_SEG][:nseg]
+        got = np.asarray(curve_lookup_tpu(
+            jnp.asarray(x), jnp.asarray(T.T), n, _SEG, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(n))

@@ -80,6 +80,18 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     T = T.at[:, _SEG].set(cpad[_SEG::_SEG][:nseg])
 
     shape = x.shape
+    import os as _os
+
+    if x.size >= (1 << 15) and \
+            jax.devices()[0].platform in ("tpu", "axon") and \
+            _os.environ.get("WEBAUDIO_CURVE", "auto") != "xla":
+        # large blocks on TPU: the fused Pallas lookup (same math, the
+        # one-hot and segment matrices never leave VMEM; ops/curve_kernel)
+        from ..ops.curve_kernel import curve_lookup_tpu
+
+        y = curve_lookup_tpu(x.reshape(-1), T.T, n, _SEG)
+        return y.reshape(shape)
+
     v = (n - 1) / 2.0 * (x.reshape(-1) + 1.0)
     v = jnp.clip(v, 0.0, float(n - 1))
     ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), n - 2)

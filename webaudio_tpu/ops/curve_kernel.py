@@ -1,0 +1,77 @@
+"""WaveShaper curve lookup as a fused Pallas kernel.
+
+The XLA two-hot curve formulation (nodes/waveshaper.py::apply_curve)
+materializes a (samples, SEG+1) one-hot and a (samples, nseg) segment
+matrix in HBM — ~750 MB per 4x-oversampled mastering block, the largest
+single term left in that chain.  This kernel keeps the whole lookup in
+VMEM: samples stream through as (R, 1) tiles, the two-hot builds in
+registers, one (R, SEG+1) x (SEG+1, nseg) MXU contraction evaluates every
+segment's lerp, and an iota-select picks the segment — HBM traffic is
+x + y only (8 bytes per sample).
+
+Math is identical to apply_curve's matmul path (same index/fraction
+formulas, HIGHEST-precision dot, two nonzero lanes), which is itself
+bit-compatible with the reference's gather+lerp (waveshaper.rs:556-573).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+R = 1024     # samples per grid step
+
+
+def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int):
+    x = x_ref[...]                                    # (R, 1) f32
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    v = jnp.float32((n - 1) / 2.0) * (x + one)
+    v = jnp.clip(v, zero, jnp.float32(n - 1))
+    ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), jnp.int32(n - 2))
+    f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
+    hi = ki // jnp.int32(seg)
+    lo = ki - hi * jnp.int32(seg)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, seg + 1), 1)
+    oh = (jnp.where(lanes == lo, one - f, zero)
+          + jnp.where(lanes == lo + jnp.int32(1), f, zero))   # (R, seg+1)
+    P = jax.lax.dot_general(
+        oh, table_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (R, nseg)
+    segs = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1)
+    y = jnp.sum(jnp.where(segs == hi, P, zero), axis=1, keepdims=True)
+    out_ref[...] = y
+
+
+@functools.partial(jax.jit, static_argnames=("n", "seg", "interpret"))
+def curve_lookup_tpu(x_flat, table_t, n: int, seg: int,
+                     interpret: bool = False):
+    """x_flat (M,) f32 in any range; table_t (SEG+1, nseg) f32 (the
+    transposed segment table from apply_curve) -> (M,) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nseg = table_t.shape[1]
+    M = x_flat.shape[0]
+    pad = (-M) % R
+    xp = jnp.pad(x_flat, (0, pad)).reshape(M + pad, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n, seg=seg, nseg=nseg),
+        out_shape=jax.ShapeDtypeStruct((M + pad, 1), jnp.float32),
+        grid=((M + pad) // R,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, table_t)
+    return out.reshape(-1)[:M]
