@@ -25,7 +25,12 @@ import jax.numpy as jnp
 R = 1024     # samples per grid step
 
 
-def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int):
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "default": jax.lax.Precision.DEFAULT}
+
+
+def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int,
+            prec: str):
     x = x_ref[...]                                    # (R, 1) f32
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -42,15 +47,16 @@ def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int):
     P = jax.lax.dot_general(
         oh, table_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (R, nseg)
+        precision=_PREC[prec])                                # (R, nseg)
     segs = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1)
     y = jnp.sum(jnp.where(segs == hi, P, zero), axis=1, keepdims=True)
     out_ref[...] = y
 
 
-@functools.partial(jax.jit, static_argnames=("n", "seg", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "seg", "interpret", "prec"))
 def curve_lookup_tpu(x_flat, table_t, n: int, seg: int,
-                     interpret: bool = False):
+                     interpret: bool = False, prec: str = "highest"):
     """x_flat (M,) f32 in any range; table_t (SEG+1, nseg) f32 (the
     transposed segment table from apply_curve) -> (M,) f32."""
     from jax.experimental import pallas as pl
@@ -62,15 +68,15 @@ def curve_lookup_tpu(x_flat, table_t, n: int, seg: int,
     xp = jnp.pad(x_flat, (0, pad)).reshape(M + pad, 1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n=n, seg=seg, nseg=nseg),
+        functools.partial(_kernel, n=n, seg=seg, nseg=nseg, prec=prec),
         out_shape=jax.ShapeDtypeStruct((M + pad, 1), jnp.float32),
         grid=((M + pad) // R,),
         in_specs=[
-            pl.BlockSpec((R, 1), lambda i: (i, 0),
+            pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, table_t)

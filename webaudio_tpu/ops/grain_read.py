@@ -1,14 +1,21 @@
 """Windowed two-hot buffer reads as a fused Pallas kernel.
 
-The fused grain-bank's read path (graph/fusion.py::_windowed_fetch)
-fetches, per (lane, sub-block), one contiguous (C, W) window and selects/
-lerps per-sample values with a (W, Qs) two-hot contraction.  In plain XLA
-that batched small-N dot lowers to a broadcast-multiply-reduce which
-materializes the full (batch, Qs, W) one-hot in HBM — slower than the
-per-sample gathers it replaces.  Here the whole read runs as ONE Pallas
-kernel: window slices are DMA'd HBM->VMEM, the two-hot is built in
-registers and contracted on the MXU, and only x/y-sized tensors touch
-HBM.
+The fused grain-bank's read path (graph/fusion.py) and the buffer-source
+const-rate path fetch, per (lane, sub-block), one contiguous (C, W)
+window and select/lerp per-sample values with a two-hot contraction.  In
+plain XLA that batched small-N dot lowers to a broadcast-multiply-reduce
+which materializes the full (batch, Qs, W) one-hot in HBM — slower than
+the per-sample gathers it replaces.  Here the selection runs as ONE
+Pallas kernel: the window tensor (gathered XLA-side with one descriptor
+per window — cheap, ~1.5 KB slices) streams through VMEM blocks, the
+two-hot builds in registers and contracts on the MXU, and the one-hot
+never touches HBM.
+
+The axon remote Mosaic compiler rejects manual in-kernel DMA with
+dynamic offsets (benches/pallas_features.py bisect), so windows are
+gathered by XLA `vmap(dynamic_slice)` outside the kernel; index maps
+construct jnp.int32 block indices in-body (Python ints lift to i64 under
+jax_enable_x64 and the remote Mosaic rejects them).
 
 Numerics match the XLA formulation (two nonzero lanes -> a*(1-f) + b*f,
 f32 accumulate) — covered by the interpret-mode unit test and the lane
@@ -25,45 +32,35 @@ import jax.numpy as jnp
 
 G = 16   # windows processed per grid step
 
+# Mosaic dot precision is parameterized so the remote-compile probe can
+# bisect backend failures; 'highest' keeps f32-exact accumulation.
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "default": jax.lax.Precision.DEFAULT}
 
-def _kernel(w0_ref, data_ref, loc_ref, frac_ref, out_ref, win, sems, *,
-            W: int, C: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    # every index must stay i32: with jax_enable_x64 on, stray Python-int
-    # promotion to i64 trips Mosaic ('tpu.memref_slice' wants i32)
-    i = jnp.int32(pl.program_id(0))
-
-    def dma(j):
+def _kernel(win_ref, loc_ref, frac_ref, out_ref, *, W: int, C: int,
+            prec: str):
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    for j in range(G):
         j32 = jnp.int32(j)   # python ints lift to i64 under x64
-        s = jnp.int32(w0_ref[i * jnp.int32(G) + j32])
-        return pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(s, W)],
-            win.at[j32], sems.at[j32])
-
-    for j in range(G):
-        dma(j).start()
-    for j in range(G):
-        dma(j).wait()
-        loc = loc_ref[j, :][None, :]                       # (1, Qs)
-        fr = frac_ref[j, :][None, :]
-        one = jnp.float32(1.0)
-        zero = jnp.float32(0.0)
+        loc = loc_ref[j32, :][None, :]                     # (1, Qs)
+        fr = frac_ref[j32, :][None, :]
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (W, loc.shape[1]), 0)               # (W, Qs)
         ohT = (jnp.where(lanes == loc, one - fr, zero)
-               + jnp.where(lanes == loc + jnp.int32(1), fr, zero))  # (W, Qs)
+               + jnp.where(lanes == loc + jnp.int32(1), fr, zero))
         y = jax.lax.dot_general(
-            win[jnp.int32(j)], ohT, (((1,), (0,)), ((), ())),
+            win_ref[j32], ohT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)           # (C, Qs)
-        out_ref[:, j, :] = y
+            precision=_PREC[prec])                         # (C, Qs)
+        out_ref[:, j32, :] = y
 
 
-@functools.partial(jax.jit, static_argnames=("Qs", "W", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("Qs", "W", "interpret", "prec"))
 def windowed_read_tpu(data_win, w0, loc, frac, Qs: int, W: int,
-                      interpret: bool = False):
+                      interpret: bool = False, prec: str = "highest"):
     """data_win (C, Lp) f32; w0 (NB,) i32 window starts; loc (NB, Qs) i32
     in [0, W-2]; frac (NB, Qs) f32 -> (C, NB, Qs) f32 lerped samples."""
     from jax.experimental import pallas as pl
@@ -80,29 +77,29 @@ def windowed_read_tpu(data_win, w0, loc, frac, Qs: int, W: int,
         frac = jnp.pad(frac, ((0, pad), (0, 0)))
     NBp = NB + pad
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # one descriptor per (C, W) window — XLA-side gather, cheap
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            data_win, (jnp.int32(0), s), (C, W)))(w0)      # (NBp, C, W)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, W=W, C=C, prec=prec),
+        out_shape=jax.ShapeDtypeStruct((C, NBp, Qs), jnp.float32),
         grid=(NBp // G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # data (manual DMA)
-            pl.BlockSpec((G, Qs), lambda i, w0: (i, 0),
+            pl.BlockSpec((G, C, W),
+                         lambda i: (i, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Qs), lambda i, w0: (i, 0),
+            pl.BlockSpec((G, Qs), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Qs), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, G, Qs), lambda i, w0: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((G, C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((G,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, W=W, C=C),
-        out_shape=jax.ShapeDtypeStruct((C, NBp, Qs), jnp.float32),
-        grid_spec=grid_spec,
+        out_specs=pl.BlockSpec(
+            (C, G, Qs), lambda i: (jnp.int32(0), i, jnp.int32(0)),
+            memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(w0, data_win, loc, frac)
+    )(win, loc, frac)
     return out[:, :NB, :]
 
 
