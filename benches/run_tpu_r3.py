@@ -31,12 +31,12 @@ def main():
                       "cold_start_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
 
+    rng = np.random.default_rng(2)
+
     # Pallas windowed-read smoke: exactness on the real chip
     try:
         from webaudio_tpu.ops.grain_read import (
             windowed_read_reference, windowed_read_tpu)
-
-        rng = np.random.default_rng(2)
         C, L, Qs, W = 2, 4000, 128, 192
         NB = 23
         data = np.zeros((C, L + W + 2), np.float32)
@@ -57,6 +57,37 @@ def main():
         print(json.dumps({"stage": "pallas_smoke", "ok": False,
                           "error": f"{type(exc).__name__}: {exc}"[:300],
                           "fallback": "gather"}), flush=True)
+
+    # curve-kernel smoke: gate the Pallas curve path the same way
+    try:
+        from webaudio_tpu.ops.curve_kernel import curve_lookup_tpu
+
+        n, seg = 2048, 64
+        grid = np.linspace(-1, 1, n)
+        curve = np.tanh(2.0 * grid).astype(np.float32)
+        nseg = -(-n // seg)
+        npad = nseg * seg
+        cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
+                                                      (npad + 1 - n,))])
+        T = np.zeros((nseg, seg + 1), np.float32)
+        T[:, :seg] = cpad[:npad].reshape(nseg, seg)
+        T[:, seg] = cpad[seg::seg][:nseg]
+        xs = rng.uniform(-1.2, 1.2, size=1 << 15).astype(np.float32)
+        got = np.asarray(curve_lookup_tpu(
+            jnp.asarray(xs), jnp.asarray(T.T), n, seg))
+        v = np.clip((n - 1) / 2.0 * (xs + 1.0), 0, n - 1)
+        ki = np.minimum(np.floor(v).astype(np.int64), n - 2)
+        f = (v - ki).astype(np.float32)
+        ref = (1 - f) * curve[ki] + f * curve[ki + 1]
+        dev = float(np.abs(got - ref).max())
+        assert dev < 2e-6, dev
+        print(json.dumps({"stage": "curve_smoke", "ok": True,
+                          "maxdev": dev}), flush=True)
+    except Exception as exc:
+        os.environ["WEBAUDIO_CURVE"] = "xla"
+        print(json.dumps({"stage": "curve_smoke", "ok": False,
+                          "error": f"{type(exc).__name__}: {exc}"[:300],
+                          "fallback": "xla"}), flush=True)
 
     import suite
 
