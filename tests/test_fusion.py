@@ -769,7 +769,9 @@ def test_grain_window_read_matches_gather():
             os.environ.pop("WEBAUDIO_GRAIN_READ", None)
 
     got_g, act_g = render("gather")
-    got_w, act_w = render("window")
-    assert act_g == 0 and act_w > 0  # both paths actually exercised
-    assert np.abs(got_w).max() > 0.01
-    np.testing.assert_allclose(got_w, got_g, atol=2e-6)
+    assert act_g == 0
+    for mode in ("window", "grouped"):
+        got_w, act_w = render(mode)
+        assert act_w > 0, mode  # path actually exercised
+        assert np.abs(got_w).max() > 0.01
+        np.testing.assert_allclose(got_w, got_g, atol=2e-6, err_msg=mode)

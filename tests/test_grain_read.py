@@ -67,16 +67,20 @@ def test_bufsrc_windowed_matches_gather():
     for loop in (True, False):
         for rate in (1.0, 0.937, 1.21):
             g, wg = _bufsrc_render("gather", loop, rate)
-            w, ww = _bufsrc_render("window", loop, rate)
-            assert wg == 0 and ww > 0, (loop, rate)
+            assert wg == 0
             assert np.abs(g).max() > 0.01
-            np.testing.assert_allclose(
-                w, g, atol=3e-6, err_msg=f"loop={loop} rate={rate}")
+            for mode in ("window", "grouped"):
+                w, ww = _bufsrc_render(mode, loop, rate)
+                assert ww > 0, (mode, loop, rate)
+                np.testing.assert_allclose(
+                    w, g, atol=3e-6,
+                    err_msg=f"{mode} loop={loop} rate={rate}")
     # early stop + offset deep into the buffer
     g, _ = _bufsrc_render("gather", True, 1.05, offset=0.15, stop=0.08)
-    w, _ = _bufsrc_render("window", True, 1.05, offset=0.15, stop=0.08)
     assert np.abs(g).max() > 0.01
-    np.testing.assert_allclose(w, g, atol=3e-6)
+    for mode in ("window", "grouped"):
+        w, _ = _bufsrc_render(mode, True, 1.05, offset=0.15, stop=0.08)
+        np.testing.assert_allclose(w, g, atol=3e-6, err_msg=mode)
 
 
 def test_bufsrc_partial_loop_keeps_gather():
@@ -112,9 +116,10 @@ def test_bufsrc_partial_loop_keeps_gather():
 
 def test_bufsrc_windowed_reverse_loop():
     g, _ = _bufsrc_render("gather", True, -0.98, offset=0.1)
-    w, _ = _bufsrc_render("window", True, -0.98, offset=0.1)
     assert np.abs(g).max() > 0.01
-    np.testing.assert_allclose(w, g, atol=3e-6)
+    for mode in ("window", "grouped"):
+        w, _ = _bufsrc_render(mode, True, -0.98, offset=0.1)
+        np.testing.assert_allclose(w, g, atol=3e-6, err_msg=mode)
 
 
 def test_curve_kernel_interpret_matches_apply_curve():

@@ -595,33 +595,35 @@ class _FusedVoicesKernel:
         """
         import os
 
-        # Mode selection: on TPU the windowed read runs as the fused
-        # Pallas kernel (ops/grain_read.py) where the two-hot never
-        # leaves VMEM.  The pure-XLA window formulation is only used when
-        # forced (WEBAUDIO_GRAIN_READ=window off-TPU, for tests): XLA
-        # lowers the batched small-N contraction as a broadcast-multiply-
-        # reduce that materializes the full (batch, Qs, W) product —
-        # measured 2.4x SLOWER than the gathers on v5e (suite granular
-        # 439x -> 180x).  WEBAUDIO_GRAIN_READ=gather forces gathers.
-        import jax as _jax
-
+        # Mode selection (see nodes/buffer_source._pick_window): 'grouped'
+        # (default) amortizes one gathered row over g samples with an
+        # elementwise lane select — the fastest measured formulation;
+        # 'window' keeps the Pallas two-hot kernel (slower in situ on the
+        # tunneled v5e: grid serialization); 'gather' forces per-sample
+        # pair gathers.  The group/window is capped at one quantum: a
+        # lane's grain identity (hi/lo variant) changes at quantum
+        # boundaries and only one grain's span is monotone.
         mode = os.environ.get("WEBAUDIO_GRAIN_READ", "auto")
         self.win_Qs = 0
         self.win_W = 0
+        self.read_mode = "gather"
         if mode == "gather" or not self.use_lanes:
             return
-        if mode == "auto" and \
-                _jax.devices()[0].platform not in ("tpu", "axon"):
-            return
-        from ..ops.grain_read import pick_window
+        from ..ops.grain_read import pick_group, pick_window
 
         ratio = self.buf_rate / self.fs
         rmax = float(np.max(np.abs(self.rates))) * ratio
-        # Qs capped at one quantum: a lane's grain identity (hi/lo
-        # variant) can change at quantum boundaries, and a window can only
-        # bound ONE grain's monotonic span
-        self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)
-        # rates too extreme for a bounded window keep the gather path
+        C = self.data_host.shape[0]
+        if mode in ("auto", "grouped"):
+            g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
+            if g:
+                self.win_Qs, self.win_W = g, w
+                self.read_mode = "grouped"
+            return
+        if mode == "window":
+            self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)
+            if self.win_W:
+                self.read_mode = "window"
 
     def vector_params(self):
         """Contiguous packed-row groups (compile_graph slices each group
@@ -655,15 +657,20 @@ class _FusedVoicesKernel:
                 res["lane_start"] = self.lane_start
                 res["lane_voice"] = self.lane_voice
                 if self.win_W:
-                    # contiguous window layout for the two-hot read:
-                    # (C, L + W + 2) with the end-of-buffer 'next tap'
-                    # constant at column L (reached only by the +1 lerp
-                    # lane when prev_i == L-1, i.e. the `beyond` case)
+                    # contiguous window layout: (C, L + W + 2) with the
+                    # end-of-buffer 'next tap' constant at column L
+                    # (reached only by the +1 lerp lane when
+                    # prev_i == L-1, i.e. the `beyond` case)
                     C, L = self.data_host.shape
                     dw = np.zeros((C, L + self.win_W + 2), np.float32)
                     dw[:, :L] = self.data_host
                     dw[:, L] = edge_vals(self.data_host)
-                    res["data_win"] = dw
+                    if self.read_mode == "grouped":
+                        from ..ops.grain_read import stage_rows
+
+                        res["data_rows_g"] = stage_rows(dw, self.win_W)
+                    else:
+                        res["data_win"] = dw
                 if self.has_gain:
                     # voice -> dense gain-row slot (-1 = constant gain)
                     lut = np.full(self.V, -1, np.int32)
@@ -721,10 +728,13 @@ class _FusedVoicesKernel:
         per variant per quantum); returns (C, K, B)."""
         import jax
 
+        if self.read_mode == "grouped":
+            from ..ops.grain_read import grouped_row_lerp
+
+            return grouped_row_lerp(data_win, pi, fr, self.win_Qs,
+                                    self.win_W)
         from ..ops.grain_read import windowed_lerp
 
-        K, B = pi.shape
-        C = data_win.shape[0]
         return windowed_lerp(data_win, pi, fr, self.win_Qs, self.win_W)
 
     def _process_grain_lanes(self, scope, state, params):
@@ -828,7 +838,9 @@ class _FusedVoicesKernel:
                 iv = var["base_i"][..., None] + dfl.astype(jnp.int32)
                 frv = (d - dfl).reshape(K, B)
                 piv = jnp.clip(iv, 0, L - 1).reshape(K, B)
-                s = self._windowed_fetch(r["data_win"], piv, frv)
+                s = self._windowed_fetch(
+                    r["data_rows_g" if self.read_mode == "grouped"
+                      else "data_win"], piv, frv)
                 cond = (piv + 1 >= L) & ((frv >= 1.0 - 1e-6) | (piv == 0))
                 return s - r["edge_vals"][:, None, None] * \
                     jnp.where(cond, frv, 0.0)[None]

@@ -98,20 +98,25 @@ class _BufferSourceKernel(Kernel):
         self._pick_window(rc)
 
     def _pick_window(self, rc):
-        """Windowed-read geometry (ops/grain_read.py): constant-rate
-        playback fetches per-sub-block contiguous windows + a VMEM two-hot
-        (the fused Pallas kernel) instead of one pair-row gather per
-        sample — the gathers are the ~7 ns/sample floor under every
-        buffer-source bench case.  Eligible: const rate with either no
-        loop (monotone playhead) or a WHOLE-buffer loop (integral loop
-        length, so the wrap is a mod in index space and the window layout
-        carries the loop continuation).  Partial/fractional loops and
-        a-rate playback keep the gathers."""
+        """Amortized-read geometry (ops/grain_read.py): constant-rate
+        playback replaces the one-pair-row-gather-per-sample hot loop —
+        the ~7 ns/sample floor under every buffer-source bench case.
+        Eligible: const rate with either no loop (monotone playhead) or a
+        WHOLE-buffer loop (integral loop length, so the wrap is a mod in
+        index space and the row/window layout carries the loop
+        continuation).  Partial/fractional loops and a-rate playback keep
+        the gathers.
+
+        Default mode 'grouped': one gathered row serves g samples, lane
+        selection is an elementwise where-chain (pure XLA — measured the
+        fastest formulation on v5e).  'window' uses the Pallas two-hot
+        kernel (slower in situ on the tunneled backend; kept for study);
+        'gather' forces the per-sample pair gathers."""
         import os
-        import jax as _jax
 
         self.win_Qs = 0
         self.win_W = 0
+        self.read_mode = "gather"
         self.whole_loop = bool(
             self.loop and self.loop_start <= 0.0
             and self.loop_end >= self.buf_duration - 1e-9)
@@ -119,13 +124,20 @@ class _BufferSourceKernel(Kernel):
         if mode == "gather" or self.const_rate is None or \
                 not self.has_buffer or (self.loop and not self.whole_loop):
             return
-        if mode == "auto" and \
-                _jax.devices()[0].platform not in ("tpu", "axon"):
-            return
-        from ..ops.grain_read import pick_window
+        from ..ops.grain_read import pick_group, pick_window
 
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
-        self.win_Qs, self.win_W = pick_window(rmax, rc.block_frames)
+        if mode in ("auto", "grouped"):
+            g, w = pick_group(rmax, self.buf_channels, self.buf_len,
+                              rc.block_frames)
+            if g:
+                self.win_Qs, self.win_W = g, w
+                self.read_mode = "grouped"
+            return
+        if mode == "window":
+            self.win_Qs, self.win_W = pick_window(rmax, rc.block_frames)
+            if self.win_W:
+                self.read_mode = "window"
 
     def resources(self):
         if self.data_host is None:
@@ -142,9 +154,20 @@ class _BufferSourceKernel(Kernel):
         wrap = int(math.ceil(self.loop_start * self.buf_rate))
         res = {"data_rows": pair_rows(self.data_host),
                "edge_vals": edge_vals(self.data_host, self.loop, wrap)}
-        if self.win_W:
-            res["data_ext"] = self._window_data()
+        res.update(self._read_resources())
         return res
+
+    def _read_resources(self) -> dict:
+        """Data-derived resources for the amortized read modes (also
+        rebuilt by GraphBatch.override_buffer for per-instance audio)."""
+        if self.read_mode == "grouped":
+            from ..ops.grain_read import stage_rows
+
+            return {"data_rows_g": stage_rows(self._window_data(),
+                                              self.win_W)}
+        if self.read_mode == "window":
+            return {"data_ext": self._window_data()}
+        return {}
 
     def _window_data(self):
         """(C, L + W + 2) window layout: whole-buffer loops copy the loop
@@ -313,9 +336,16 @@ class _BufferSourceKernel(Kernel):
             u = jnp.clip(fl, 0.0, float(L - 1)).astype(jnp.int32)
             wrap_len = 0
         k = (base - fl).astype(jnp.float32)
-        out = windowed_lerp(
-            scope.node_resources["data_ext"], u[None, :], k[None, :],
-            self.win_Qs, self.win_W, wrap_len)[:, 0, :]
+        if self.read_mode == "grouped":
+            from ..ops.grain_read import grouped_row_lerp
+
+            out = grouped_row_lerp(
+                scope.node_resources["data_rows_g"], u[None, :],
+                k[None, :], self.win_Qs, self.win_W, wrap_len)[:, 0, :]
+        else:
+            out = windowed_lerp(
+                scope.node_resources["data_ext"], u[None, :], k[None, :],
+                self.win_Qs, self.win_W, wrap_len)[:, 0, :]
         if not self.loop:
             # non-loop end-of-buffer corrections (the gather path's
             # `edge` special cases): column L already holds the linear

@@ -172,3 +172,59 @@ def pick_window(rmax: float, block_frames: int):
         if W <= 512 and W <= 4 * Qs:
             return Qs, W
     return 0, 0
+
+
+# --- grouped rows: the descriptor-amortized pure-XLA read -------------------
+# pair_rows generalized: one gathered row serves g consecutive output
+# samples (row width w ~= g*rmax + taps), so gather descriptors drop by g
+# while per-sample selection becomes a short elementwise where-chain over
+# the row lanes (XLA fuses it into one pass).  Unlike the Pallas windowed
+# kernel this adds no grid/launch serialization — measured the fastest
+# formulation on the tunneled v5e.
+
+
+def pick_group(rmax: float, C: int, L: int, block_frames: int):
+    """(g, w) grouped-row geometry, or (0, 0) when ineligible.  Bounds:
+    row width w <= 32 lanes and the staged row matrix <= 128 MB."""
+    for g in (16, 8):
+        if block_frames % g:
+            continue
+        w = int(np.ceil(g * rmax)) + 3
+        if w <= 32 and (L + 2) * C * w * 4 <= (128 << 20):
+            return g, w
+    return 0, 0
+
+
+def stage_rows(data_ext: np.ndarray, w: int) -> np.ndarray:
+    """(C, Lp) window layout -> (N, C, w) row matrix, N = Lp - w + 1
+    (covers starts 0..wrap_len; the extended columns provide loop
+    continuation / edge constants exactly like the windowed layout)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    sw = sliding_window_view(np.ascontiguousarray(data_ext), w, axis=1)
+    return np.ascontiguousarray(sw.transpose(1, 0, 2))       # (N, C, w)
+
+
+def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
+    """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
+    group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
+    whole-buffer loops with pi unwrapped)."""
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                  # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)              # (R*S, g)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                        # (R*S, C, w)
+    a = jnp.broadcast_to(rows[:, :, :1], rows.shape[:2] + (g,))
+    b = jnp.broadcast_to(rows[:, :, 1:2], rows.shape[:2] + (g,))
+    for l in range(1, w - 1):
+        m = (loc == l)[:, None, :]                           # (R*S, 1, g)
+        a = jnp.where(m, rows[:, :, l:l + 1], a)
+        b = jnp.where(m, rows[:, :, l + 1:l + 2], b)
+    f3 = frq[:, None, :]
+    out = a * (1.0 - f3) + b * f3                            # (R*S, C, g)
+    return jnp.transpose(out, (1, 0, 2)).reshape(C, R, B)

@@ -144,18 +144,21 @@ class GraphBatch:
                 [edge_vals(inst, loop, wrap) for inst in stacked])
             self._batched_resources.add((nk, "data_rows"))
             self._batched_resources.add((nk, "edge_vals"))
-            if "data_ext" in self._resources[nk]:
-                # windowed-read kernels also stage the window layout
-                exts = []
+            if hasattr(kern, "_read_resources"):
+                # amortized-read kernels also stage data-derived layouts
+                # (grouped rows / window extension) per instance
+                per_inst: dict = {}
                 for inst in stacked:
                     saved = kern.data_host
                     kern.data_host = inst
                     try:
-                        exts.append(kern._window_data())
+                        for rk, rv in kern._read_resources().items():
+                            per_inst.setdefault(rk, []).append(rv)
                     finally:
                         kern.data_host = saved
-                self._resources[nk]["data_ext"] = np.stack(exts)
-                self._batched_resources.add((nk, "data_ext"))
+                for rk, rvs in per_inst.items():
+                    self._resources[nk][rk] = np.stack(rvs)
+                    self._batched_resources.add((nk, rk))
             self._staged = None
             self._fn = None
             return
