@@ -219,12 +219,14 @@ def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     if wrap_len:
         w0 = w0 % jnp.int32(wrap_len)
     rows = rows_g[w0]                                        # (R*S, C, w)
-    a = jnp.broadcast_to(rows[:, :, :1], rows.shape[:2] + (g,))
-    b = jnp.broadcast_to(rows[:, :, 1:2], rows.shape[:2] + (g,))
-    for l in range(1, w - 1):
-        m = (loc == l)[:, None, :]                           # (R*S, 1, g)
-        a = jnp.where(m, rows[:, :, l:l + 1], a)
-        b = jnp.where(m, rows[:, :, l + 1:l + 2], b)
-    f3 = frq[:, None, :]
-    out = a * (1.0 - f3) + b * f3                            # (R*S, C, g)
+    # two-hot select+lerp as one multiply-reduce over the w row lanes
+    # (w ~= 21, so the (R*S, C, g, w) product is small; a where-CHAIN over
+    # lanes compiled to ~2(w-1) unfused passes and measured slower)
+    lanes = jnp.arange(w, dtype=jnp.int32)[None, None, :]    # (1, 1, w)
+    tw = (jnp.where(lanes == loc[:, :, None],
+                    (1.0 - frq)[:, :, None], 0.0)
+          + jnp.where(lanes == loc[:, :, None] + 1,
+                      frq[:, :, None], 0.0))                 # (R*S, g, w)
+    out = jnp.sum(tw[:, None, :, :] * rows[:, :, None, :],
+                  axis=-1)                                   # (R*S, C, g)
     return jnp.transpose(out, (1, 0, 2)).reshape(C, R, B)
