@@ -1,7 +1,10 @@
 """Merge the per-session suite logs (benches/runs_r03/*.jsonl) into the
 committed RESULTS file.
 
-Each session runs every case in one process (benches/run_tpu_r3.py);
+Only `final_*.jsonl` sessions aggregate (identical final code); earlier
+run*.jsonl files are archived intermediates from in-flight optimization
+states.  Each session runs every case in one process
+(benches/run_tpu_r3.py);
 per-case numbers are medians of >=3 fenced trials within the session.
 Sessions drift ±20-60% with remote-service health, so the committed
 value is the MEDIAN across session medians and the artifact carries
@@ -23,7 +26,8 @@ def main():
         os.path.join(here, "RESULTS_v5e.jsonl")
     by_case: dict = {}
     order: list = []
-    sessions = sorted(glob.glob(os.path.join(here, "runs_r03", "*.jsonl")))
+    s = os.path.join(here, "runs_r03", "final_*.jsonl")
+    sessions = sorted(glob.glob(s))
     for path in sessions:
         with open(path) as f:
             for line in f:

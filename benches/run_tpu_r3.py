@@ -81,10 +81,11 @@ def main():
         ref = (1 - f) * curve[ki] + f * curve[ki + 1]
         dev = float(np.abs(got - ref).max())
         assert dev < 2e-6, dev
+        os.environ["WEBAUDIO_CURVE"] = "pallas"   # proven: enable
         print(json.dumps({"stage": "curve_smoke", "ok": True,
                           "maxdev": dev}), flush=True)
     except Exception as exc:
-        os.environ["WEBAUDIO_CURVE"] = "xla"
+        os.environ.pop("WEBAUDIO_CURVE", None)    # default xla
         print(json.dumps({"stage": "curve_smoke", "ok": False,
                           "error": f"{type(exc).__name__}: {exc}"[:300],
                           "fallback": "xla"}), flush=True)

@@ -107,11 +107,13 @@ class _BufferSourceKernel(Kernel):
         continuation).  Partial/fractional loops and a-rate playback keep
         the gathers.
 
-        Default mode 'grouped': one gathered row serves g samples, lane
-        selection is an elementwise where-chain (pure XLA — measured the
-        fastest formulation on v5e).  'window' uses the Pallas two-hot
-        kernel (slower in situ on the tunneled backend; kept for study);
-        'gather' forces the per-sample pair gathers."""
+        Default mode for the SINGLE-voice buffer source is 'gather':
+        its playhead is near-sequential, hardware prefetch makes the
+        pair gathers fast, and the grouped-row A/B measured gathers ~13%
+        faster here (benches/read_modes.py) — the opposite of the fused
+        multi-lane grain bank, whose interleaved lanes defeat prefetch
+        and which defaults to 'grouped'.  WEBAUDIO_GRAIN_READ=
+        grouped|window|gather overrides."""
         import os
 
         self.win_Qs = 0
@@ -127,7 +129,9 @@ class _BufferSourceKernel(Kernel):
         from ..ops.grain_read import pick_group, pick_window
 
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
-        if mode in ("auto", "grouped"):
+        if mode == "auto":
+            return  # single-voice source: gathers win (see docstring)
+        if mode == "grouped":
             g, w = pick_group(rmax, self.buf_channels, self.buf_len,
                               rc.block_frames)
             if g:

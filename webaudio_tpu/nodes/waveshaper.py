@@ -84,9 +84,13 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
     if x.size >= (1 << 15) and \
             jax.devices()[0].platform in ("tpu", "axon") and \
-            _os.environ.get("WEBAUDIO_CURVE", "auto") != "xla":
+            _os.environ.get("WEBAUDIO_CURVE", "xla") == "pallas":
         # large blocks on TPU: the fused Pallas lookup (same math, the
-        # one-hot and segment matrices never leave VMEM; ops/curve_kernel)
+        # one-hot and segment matrices never leave VMEM; ops/curve_kernel).
+        # OPT-IN (WEBAUDIO_CURVE=pallas): the axon remote Mosaic crashes
+        # on in-kernel dots under a grid (benches/read_modes.py bisect);
+        # benches/run_tpu_r3.py enables it per session when its smoke
+        # compile succeeds
         from ..ops.curve_kernel import curve_lookup_tpu
 
         y = curve_lookup_tpu(x.reshape(-1), T.T, n, _SEG)
