@@ -866,24 +866,25 @@ class _FusedVoicesKernel:
             grow = sel("grow").reshape(K, B)
             gconst = sel("gconst").reshape(K, B)
             if len(self.gain_dense):
-                # per-quantum envelope-row selection as a one-hot matmul:
-                # the row id is constant within (variant, quantum), and a
-                # per-sample (K, B) 2D gather runs ~10x slower than the
-                # (nq, K, D) x (nq, D, Q) batched contraction on v5e
-                # (HIGHEST keeps the 1.0-weighted row selection exact)
+                # per-quantum envelope-row selection as a per-QUANTUM row
+                # gather: the row id is constant within (variant, quantum),
+                # so K*nq descriptors of one quantum each fetch every
+                # needed row.  (The previous one-hot batched contraction
+                # over all D rows lowered to a broadcast-reduce that
+                # materialized (nq, K, D, Q) — ~7 GB per granular render,
+                # isolated as ~29% of the case by granular_ablate.py.
+                # A PER-SAMPLE (K, B) gather is still the slow option;
+                # per-quantum rows are 512 B slices.)
                 rows = params.get("gain")                     # (D, B)
                 D = rows.shape[0]
-                rq = rows.reshape(D, nq, Q).transpose(1, 0, 2)  # (nq, D, Q)
+                flat = rows.reshape(D, nq, Q).transpose(1, 0, 2) \
+                    .reshape(nq * D, Q)                       # (nq*D, Q)
+                qidx = jnp.arange(nq, dtype=jnp.int32)[None, :]  # (1, nq)
 
-                def qdense(growq):
-                    oh = (growq[:, :, None] == jnp.arange(
-                        D, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
-                    out = jax.lax.dot_general(
-                        oh.transpose(1, 0, 2), rq,
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (nq, K, Q)
-                    return out.transpose(1, 0, 2)             # (K, nq, Q)
+                def qdense(growq):                            # (K, nq) i32
+                    g_ = jnp.clip(growq, 0, D - 1)
+                    sel_rows = flat[(qidx * D + g_).reshape(-1)]
+                    return sel_rows.reshape(K, nq, Q)
 
                 dense = jnp.where(use_hi, qdense(hi["grow"]),
                                   qdense(lo["grow"])).reshape(K, B)
