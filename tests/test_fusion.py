@@ -775,3 +775,62 @@ def test_grain_window_read_matches_gather():
         assert act_w > 0, mode  # path actually exercised
         assert np.abs(got_w).max() > 0.01
         np.testing.assert_allclose(got_w, got_g, atol=2e-6, err_msg=mode)
+
+
+def test_compact_env_matches_dense_rows():
+    """Grain-bank envelopes compile to compact analytic segment tables
+    (fusion._build_compact_env); output must match the dense-row path to
+    f32 rounding, and batching overrides of compacted envelopes raise."""
+    import numpy as np
+
+    def build(compact):
+        from webaudio_tpu import OfflineAudioContext
+
+        os.environ["WEBAUDIO_COMPACT_ENV"] = compact
+        fs, seconds = 44100.0, 1.0
+        ctx = OfflineAudioContext(2, int(fs * seconds), fs)
+        sample = ctx.decode_audio_data_sync(
+            "/root/reference/samples/sample.wav")
+        rng = np.random.RandomState(4)
+        for i in range(40):
+            when = i * (seconds - 0.2) / 40
+            src = ctx.create_buffer_source(
+                playback_rate=float(0.9 + 0.2 * rng.rand()))
+            src.buffer = sample
+            env = ctx.create_gain(gain=0.0)
+            env.gain.set_value_at_time(0.0, when)
+            env.gain.linear_ramp_to_value_at_time(0.4, when + 0.045)
+            env.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+            src.connect(env)
+            env.connect(ctx.destination)
+            src.start(when, 0.3 + 0.8 * (i / 40), 0.09)
+        return ctx
+
+    try:
+        ctx = build("0")
+        dense = ctx.start_rendering_sync().to_array()
+        ctx = build("1")
+        from webaudio_tpu.graph import compiler as C
+
+        cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                             ctx.sample_rate, ctx.length,
+                             ctx._destination.node_id)
+        fused = [k for k in cg.kernels.values()
+                 if type(k).__name__.startswith("_FusedVoices")]
+        assert fused and fused[0].compact_env is not None
+        compact = ctx.start_rendering_sync().to_array()
+        assert np.abs(dense).max() > 0.01
+        np.testing.assert_allclose(compact, dense, atol=2e-6)
+
+        # overriding a compacted envelope raises with guidance
+        from webaudio_tpu.parallel.batch import GraphBatch
+
+        ctx2 = build("1")
+        env0 = next(n for n in ctx2._nodes.values()
+                    if type(n).__name__ == "GainNode")
+        gb = GraphBatch(ctx2, batch=2)
+        with pytest.raises(ValueError, match="WEBAUDIO_COMPACT_ENV"):
+            gb.override_param(env0, "gain",
+                              np.zeros((2, ctx2.length), np.float32))
+    finally:
+        os.environ.pop("WEBAUDIO_COMPACT_ENV", None)

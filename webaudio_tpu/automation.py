@@ -273,17 +273,25 @@ def compile_timeline(
     is_a_rate: bool,
     start_frame: int = 0,
     force_dense: bool = False,
+    segments_out: Optional[list] = None,
 ) -> CompiledParam:
     """Compile ``timeline`` into a scalar or dense array for samples
     ``[start_frame, start_frame + length)``.
 
     The timeline object is mutated the same way the render half would be
     (events consumed, intrinsic updated), enabling suspend/re-trace to
-    continue where the previous segment left off."""
+    continue where the previous segment left off.  ``segments_out``
+    (if a list) receives the internal `_Segment` walk output — the
+    compact piecewise representation consumers like the fused grain
+    bank's in-kernel envelope evaluation build from."""
     fs = float(sample_rate)
     dt = 1.0 / fs
 
     if timeline.is_trivially_constant():
+        if segments_out is not None:
+            segments_out.append(_Segment(start_frame, start_frame + length,
+                                         "const",
+                                         v0=timeline.intrinsic_value))
         if force_dense:
             dense = np.full(length, np.float32(timeline.intrinsic_value))
             return CompiledParam(None, dense, timeline.intrinsic_value,
@@ -642,6 +650,9 @@ def compile_timeline(
     timeline.events = events
     timeline.intrinsic_value = intrinsic
     timeline.last_event = last_event
+
+    if segments_out is not None:
+        segments_out.extend(segments)
 
     # single constant segment -> scalar
     if len(segments) == 1 and segments[0].kind == "const" and not force_dense:

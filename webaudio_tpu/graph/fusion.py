@@ -457,11 +457,13 @@ class _FusedVoicesKernel:
             self.det_lim = (d0.min_value, d0.max_value)
             self.all_const_freq = (len(self.freq_dense) == 0
                                    and len(self.det_dense) == 0)
+        self.compact_env = None
         if self.has_gain:
             self.gain_const, self.gain_dense = classify(
                 "v{}.gain", lambda i: node.gains[i].params["gain"])
             g0 = node.gains[0].params["gain"]
             self.gain_lim = (g0.min_value, g0.max_value)
+            self._build_compact_env(rc)
         if (self.all_const_freq and not self.is_const_src
                 and not self.is_bufsrc):
             # bit-identical to _OscillatorKernel's host math
@@ -470,6 +472,95 @@ class _FusedVoicesKernel:
             d = self.det_const.astype(np.float32)
             self.computed_const = (
                 f * np.exp2(d / np.float32(1200.0))).astype(np.float32)
+
+    _ENV_MAX_SEGS = 12
+
+    def _build_compact_env(self, rc):
+        """Compact piecewise envelope tables for the grain bank.
+
+        Grain envelopes are short const/linear-ramp timelines, yet the
+        dense-param path streams one full-length (B,) row per voice
+        (400 envelope rows = ~700 MB of automation per granular render)
+        and selects rows per quantum.  When EVERY gain timeline walks to
+        <= _ENV_MAX_SEGS const/linear segments, the kernel instead
+        evaluates the envelope analytically from per-voice segment tables
+        (begin frame, v0, v1, t0, 1/duration) — the packed dense rows
+        stay allocated but are never read (no steady-state cost), so
+        checkpoints / re-traces / the automation state machine are
+        untouched.  WEBAUDIO_COMPACT_ENV=0 opts out (required if
+        GraphBatch.override_param must target these envelope rows)."""
+        import os
+
+        from .. import automation as _automation
+
+        self.compact_env = None
+        if not self.is_bufsrc or not len(self.gain_dense):
+            return
+        if os.environ.get("WEBAUDIO_COMPACT_ENV", "1") == "0":
+            return
+        S = self._ENV_MAX_SEGS
+        n = self.n
+        V = self.V
+        pad_len = -(-rc.total_frames // rc.block_frames) * rc.block_frames
+        begins = np.full((V, S), 2**31 - 1, np.int64)
+        lin = np.zeros((V, S), bool)
+        v0s = np.zeros((V, S), np.float32)
+        v1s = np.zeros((V, S), np.float32)
+        t0s = np.zeros((V, S), np.float64)
+        idur = np.zeros((V, S), np.float64)
+        for i in range(V):
+            p = n.gains[i].params["gain"]
+            segs: list = []
+            _automation.compile_timeline(
+                p._timeline.snapshot(), rc.sample_rate, pad_len,
+                is_a_rate=True, start_frame=rc.start_frame,
+                segments_out=segs)
+            if len(segs) > S or any(s.kind not in ("const", "linear")
+                                    for s in segs):
+                return  # not compactable: keep the dense-row path
+            for j, s in enumerate(segs):
+                begins[i, j] = s.begin
+                if s.kind == "linear":
+                    lin[i, j] = True
+                    v0s[i, j] = np.float32(s.v0)
+                    # f64 difference then f32 cast, exactly as the dense
+                    # evaluator's np.float32(v1 - v0)
+                    v1s[i, j] = np.float32(np.float64(s.v1)
+                                           - np.float64(s.v0))
+                    t0s[i, j] = s.t0
+                    idur[i, j] = 1.0 / s.duration
+                else:
+                    v0s[i, j] = np.float32(s.v0)
+        self.compact_env = {
+            "env_begin": np.minimum(begins, 2**31 - 1).astype(np.int32),
+            "env_lin": lin,
+            "env_v0": v0s,
+            "env_dv": v1s,
+            "env_t0": t0s,
+            "env_idur": idur,
+        }
+
+    def _compact_env_eval(self, r, v, tq, t64):
+        """Evaluate the compact envelopes for voice ids `v` (K, nq):
+        tq (nq, Q) i32 global frames (exact segment activation), t64
+        (nq, Q) f64 seconds (phase math) -> (K, B) f32 unclipped
+        intrinsic, same formulas as automation._evaluate_segments."""
+        K, nq = v.shape
+        Q = tq.shape[1]
+        t = t64[None]                                          # (1, nq, Q)
+        val = jnp.zeros((K, nq, Q), jnp.float32)
+        for s in range(self._ENV_MAX_SEGS):
+            beg = r["env_begin"][v][:, :, s][..., None]        # (K, nq, 1)
+            act = tq[None] >= beg                              # exact frames
+            v0 = r["env_v0"][v][:, :, s][..., None]
+            is_lin = r["env_lin"][v][:, :, s][..., None]
+            phase = ((t - r["env_t0"][v][:, :, s][..., None])
+                     * r["env_idur"][v][:, :, s][..., None]
+                     ).astype(jnp.float32)
+            linv = r["env_dv"][v][:, :, s][..., None] * phase + v0
+            seg_val = jnp.where(is_lin, linv, v0)
+            val = jnp.where(act, seg_val, val)
+        return val.reshape(K, nq * Q)
 
     def _pack_grain_lanes(self, fs):
         """Pack time-localized grains into K << V concurrency lanes.
@@ -677,6 +768,8 @@ class _FusedVoicesKernel:
                     for j, vv in enumerate(self.gain_dense):
                         lut[int(vv)] = j
                     res["gain_row"] = lut
+                    if self.compact_env is not None:
+                        res.update(self.compact_env)
         elif self.is_const_src:
             res["off_const"] = self.off_const
         else:
@@ -865,7 +958,17 @@ class _FusedVoicesKernel:
         if self.has_gain:
             grow = sel("grow").reshape(K, B)
             gconst = sel("gconst").reshape(K, B)
-            if len(self.gain_dense):
+            if self.compact_env is not None:
+                # analytic envelope evaluation from compact per-voice
+                # segment tables (_build_compact_env): no dense-row
+                # streaming or selection at all
+                t64 = tq.astype(jnp.float64) / jnp.float64(fs)
+                dv_hi = self._compact_env_eval(r, hi["v"], tq, t64)
+                dv_lo = self._compact_env_eval(r, lo["v"], tq, t64)
+                dense = jnp.where(use_hi.reshape(K, B),
+                                  dv_hi, dv_lo)
+                g = jnp.clip(dense, self.gain_lim[0], self.gain_lim[1])
+            elif len(self.gain_dense):
                 # per-quantum envelope-row selection as a per-QUANTUM row
                 # gather: the row id is constant within (variant, quantum),
                 # so K*nq descriptors of one quantum each fetch every

@@ -190,6 +190,15 @@ class GraphBatch:
                 [arr, np.repeat(arr[:, -1:], padded - arr.shape[1], 1)], axis=1)
         key = (node.node_id, param_name)
         key = self.cg.param_alias.get(key, key)  # fused chains remap rows
+        kern = self.cg.kernels.get(key[0])
+        if kern is not None and \
+                getattr(kern, "compact_env", None) is not None and \
+                str(key[1]).endswith(".gain"):
+            raise ValueError(
+                "this envelope compiled to the grain bank's compact "
+                "analytic form (its dense rows are not read); set "
+                "WEBAUDIO_COMPACT_ENV=0 before building the context to "
+                "batch-override it")
         if key not in self.cg.dense_params:
             raise ValueError(
                 "param was compiled as a constant; schedule at least one "
