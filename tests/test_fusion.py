@@ -809,7 +809,7 @@ def test_compact_env_matches_dense_rows():
     try:
         ctx = build("0")
         dense = ctx.start_rendering_sync().to_array()
-        ctx = build("1")
+        ctx = build("1")   # opt-in (default stays on the row-gather path)
         from webaudio_tpu.graph import compiler as C
 
         cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),

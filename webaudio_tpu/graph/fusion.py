@@ -496,7 +496,13 @@ class _FusedVoicesKernel:
         self.compact_env = None
         if not self.is_bufsrc or not len(self.gain_dense):
             return
-        if os.environ.get("WEBAUDIO_COMPACT_ENV", "1") == "0":
+        # OPT-IN: analytically exact and it removes ~700 MB of dense-row
+        # streaming, but the in-situ TPU measurement (granular_ablate.py
+        # session 3: 419x vs 526x) shows the per-segment f64 phase math +
+        # per-segment table gathers cost MORE than the per-quantum
+        # row-gather default on v5e.  Kept as a numerically-verified
+        # basis for a future split-precision evaluation.
+        if os.environ.get("WEBAUDIO_COMPACT_ENV", "0") != "1":
             return
         S = self._ENV_MAX_SEGS
         n = self.n
