@@ -3,11 +3,17 @@
 The XLA two-hot curve formulation (nodes/waveshaper.py::apply_curve)
 materializes a (samples, SEG+1) one-hot and a (samples, nseg) segment
 matrix in HBM — ~750 MB per 4x-oversampled mastering block, the largest
-single term left in that chain.  This kernel keeps the whole lookup in
-VMEM: samples stream through as (R, 1) tiles, the two-hot builds in
-registers, one (R, SEG+1) x (SEG+1, nseg) MXU contraction evaluates every
-segment's lerp, and an iota-select picks the segment — HBM traffic is
-x + y only (8 bytes per sample).
+single term left in that chain.  This kernel keeps the lookup in VMEM:
+the cheap index/fraction math (v, ki, f, hi, lo) runs as fused XLA
+elementwise ops, and the kernel streams (lo, f, hi) tiles through VMEM,
+builds the two-hot in registers, contracts on the MXU, and iota-selects
+the segment — HBM traffic is ~16 bytes per sample.
+
+The axon remote Mosaic compiler crashes when the dot's one-hot operand
+derives from in-kernel float->int compute (bisected: the same kernel
+with lo/f passed as INPUTS compiles — the pattern the windowed-read
+kernel uses — while computed variants, gridded or gridless, 500).
+Hence the split: indices outside, selection + dot inside.
 
 Math is identical to apply_curve's matmul path (same index/fraction
 formulas, HIGHEST-precision dot, two nonzero lanes), which is itself
@@ -29,18 +35,13 @@ _PREC = {"highest": jax.lax.Precision.HIGHEST,
          "default": jax.lax.Precision.DEFAULT}
 
 
-def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int,
-            prec: str):
-    x = x_ref[...]                                    # (R, 1) f32
+def _kernel(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, seg: int,
+            nseg: int, prec: str):
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
-    v = jnp.float32((n - 1) / 2.0) * (x + one)
-    v = jnp.clip(v, zero, jnp.float32(n - 1))
-    ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), jnp.int32(n - 2))
-    f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
-    hi = ki // jnp.int32(seg)
-    lo = ki - hi * jnp.int32(seg)
-
+    lo = lo_ref[...]                                      # (R, 1) i32
+    f = f_ref[...]                                        # (R, 1) f32
+    hi = hi_ref[...]                                      # (R, 1) i32
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, seg + 1), 1)
     oh = (jnp.where(lanes == lo, one - f, zero)
           + jnp.where(lanes == lo + jnp.int32(1), f, zero))   # (R, seg+1)
@@ -49,8 +50,8 @@ def _kernel(x_ref, table_ref, out_ref, *, n: int, seg: int, nseg: int,
         preferred_element_type=jnp.float32,
         precision=_PREC[prec])                                # (R, nseg)
     segs = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1)
-    y = jnp.sum(jnp.where(segs == hi, P, zero), axis=1, keepdims=True)
-    out_ref[...] = y
+    out_ref[...] = jnp.sum(jnp.where(segs == hi, P, zero), axis=1,
+                           keepdims=True)
 
 
 @functools.partial(jax.jit,
@@ -67,11 +68,24 @@ def curve_lookup_tpu(x_flat, table_t, n: int, seg: int,
     pad = (-M) % R
     xp = jnp.pad(x_flat, (0, pad)).reshape(M + pad, 1)
 
+    # index/fraction math in XLA (fused elementwise), same formulas as
+    # apply_curve
+    v = jnp.float32((n - 1) / 2.0) * (xp + jnp.float32(1.0))
+    v = jnp.clip(v, jnp.float32(0.0), jnp.float32(n - 1))
+    ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), jnp.int32(n - 2))
+    f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
+    hi = ki // jnp.int32(seg)
+    lo = ki - hi * jnp.int32(seg)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n=n, seg=seg, nseg=nseg, prec=prec),
+        functools.partial(_kernel, seg=seg, nseg=nseg, prec=prec),
         out_shape=jax.ShapeDtypeStruct((M + pad, 1), jnp.float32),
         grid=((M + pad) // R,),
         in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -79,5 +93,5 @@ def curve_lookup_tpu(x_flat, table_t, n: int, seg: int,
         out_specs=pl.BlockSpec((R, 1), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, table_t)
+    )(lo, f, hi, table_t)
     return out.reshape(-1)[:M]
