@@ -87,8 +87,9 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
             _os.environ.get("WEBAUDIO_CURVE", "xla") == "pallas":
         # large blocks on TPU: the fused Pallas lookup (same math, the
         # one-hot and segment matrices never leave VMEM; ops/curve_kernel).
-        # OPT-IN (WEBAUDIO_CURVE=pallas): the axon remote Mosaic crashes
-        # on in-kernel dots under a grid (benches/read_modes.py bisect);
+        # OPT-IN (WEBAUDIO_CURVE=pallas): the axon remote Mosaic compile
+        # helper crashes on this kernel family (bisects in
+        # benches/read_modes.py and benches/final_g.py);
         # benches/run_tpu_r3.py enables it per session when its smoke
         # compile succeeds
         from ..ops.curve_kernel import curve_lookup_tpu

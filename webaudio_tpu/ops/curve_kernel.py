@@ -9,11 +9,15 @@ elementwise ops, and the kernel streams (lo, f, hi) tiles through VMEM,
 builds the two-hot in registers, contracts on the MXU, and iota-selects
 the segment — HBM traffic is ~16 bytes per sample.
 
-The axon remote Mosaic compiler crashes when the dot's one-hot operand
-derives from in-kernel float->int compute (bisected: the same kernel
-with lo/f passed as INPUTS compiles — the pattern the windowed-read
-kernel uses — while computed variants, gridded or gridless, 500).
-Hence the split: indices outside, selection + dot inside.
+The axon remote Mosaic compiler rejects every variant of this kernel
+family tried (computed or input-fed operands, gridded or gridless —
+HTTP 500 from the compile helper), even though the structurally similar
+windowed-read kernel (input-fed one-hot -> dot under a grid) compiles;
+the exact trigger is unisolated.  The kernel is verified in interpret
+mode, AOT-lowers for TPU locally, and is smoke-gated per session by
+benches/run_tpu_r3.py (WEBAUDIO_CURVE=pallas enables it on healthy
+backends); indices are computed XLA-side regardless, which is the
+cheaper split anyway.
 
 Math is identical to apply_curve's matmul path (same index/fraction
 formulas, HIGHEST-precision dot, two nonzero lanes), which is itself
