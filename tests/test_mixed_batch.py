@@ -174,3 +174,105 @@ def test_sharded_buckets_on_mesh():
     outs = mb.render()
     ref = _osc_ctx(220.0, 0.25).start_rendering_sync().to_array()
     np.testing.assert_allclose(outs[0], ref, atol=2e-5)
+
+
+def test_cyclic_same_block_different_lengths_bucket_apart():
+    # advisor round-3 repro: a delay-feedback graph's block size is bounded
+    # by the delay, so 2 s and 4 s renders both pick the same block —
+    # without the length in the fingerprint they bucketed together and the
+    # longer context silently came back truncated to the leader's length
+    def make(n):
+        ctx = wa.OfflineAudioContext(1, n, FS)
+        src = ctx.create_constant_source(offset=1.0)
+        src.start()
+        src.stop(0.002)
+        d = ctx.create_delay(max_delay_time=0.05)
+        d.delay_time.value = 0.008
+        g = ctx.create_gain(gain=0.5)
+        src.connect(d)
+        d.connect(g)
+        g.connect(d)      # feedback cycle: delay bounds the block
+        g.connect(ctx.destination)
+        return ctx
+
+    a, b = make(96000), make(192000)
+    mb = MixedGraphBatch([a, b])
+    outs = mb.render()
+    assert outs[0].shape == (1, 96000)
+    assert outs[1].shape == (1, 192000)
+    ra = make(96000).start_rendering_sync().to_array()
+    rb = make(192000).start_rendering_sync().to_array()
+    np.testing.assert_allclose(outs[0], ra, atol=2e-5)
+    np.testing.assert_allclose(outs[1], rb, atol=2e-5)
+
+
+def test_fused_banks_with_different_offsets_render_their_own_audio(
+        monkeypatch):
+    # advisor round-3 repro: 33 fused buffer sources sharing ONE
+    # AudioBuffer, per-voice start offsets differing between two contexts.
+    # The offsets used to be baked into the leader's trace as constants, so
+    # the second context returned the leader's audio.
+    monkeypatch.setenv("WEBAUDIO_FUSE_THRESHOLD", "32")
+    rng = np.random.default_rng(7)
+    data = (rng.standard_normal(8192) * 0.3).astype(np.float32)
+    n = 2048
+
+    def make(offset_step):
+        ctx = wa.OfflineAudioContext(1, n, FS)
+        buf = ctx.create_buffer(1, 8192, FS)
+        buf.copy_to_channel(data, 0)
+        for i in range(33):
+            src = ctx.create_buffer_source()
+            src.buffer = buf
+            src.connect(ctx.destination)
+            src.start(0.0, offset=i * offset_step)
+        return ctx
+
+    a, b = make(0.001), make(0.003)
+    ra = make(0.001).start_rendering_sync().to_array()
+    rb = make(0.003).start_rendering_sync().to_array()
+    assert np.max(np.abs(ra - rb)) > 1e-3  # genuinely different programs
+    mb = MixedGraphBatch([a, b])
+    outs = mb.render()
+    np.testing.assert_allclose(outs[0], ra, atol=2e-5)
+    np.testing.assert_allclose(outs[1], rb, atol=2e-5)
+
+
+def test_worklet_processor_options_do_not_bleed_across_lanes():
+    # advisor round-3: same worklet class, different processor_options ->
+    # either different buckets or per-member states; each lane must render
+    # with its own options
+    from webaudio_tpu.worklet import AudioWorkletProcessor
+
+    class ScaleProcessor(AudioWorkletProcessor):
+        def __init__(self, options=None, port=None):
+            self.scale = float((options or {}).get("scale", 1.0))
+
+        @staticmethod
+        def parameter_descriptors():
+            return []
+
+        def init_state(self, rc):
+            return {}
+
+        def process(self, scope, state, inputs, params):
+            import jax.numpy as jnp
+
+            x = inputs[0] if inputs else jnp.zeros((1, scope.frames))
+            return state, [x * self.scale]
+
+    def make(scale):
+        ctx = wa.OfflineAudioContext(1, N, FS)
+        src = ctx.create_constant_source(offset=1.0)
+        src.start()
+        w = wa.AudioWorkletNode(ctx, ScaleProcessor,
+                                processor_options={"scale": scale})
+        src.connect(w)
+        w.connect(ctx.destination)
+        return ctx
+
+    a, b = make(0.25), make(0.75)
+    mb = MixedGraphBatch([a, b])
+    outs = mb.render()
+    np.testing.assert_allclose(np.median(outs[0]), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.median(outs[1]), 0.75, atol=1e-6)

@@ -85,3 +85,18 @@ def test_render_u8_cpu_fallback():
     # preview-grade: decoded bounce tracks the f32 render (u-law step
     # near full scale is ~0.035 in the linear domain, plus dither)
     assert np.abs(dec - ref).max() < 0.06
+
+
+def test_ulaw_decode_is_unbiased_and_in_range():
+    # advisor round-3: decode used (codes+0.5)/255, a +0.5-LSB bias that
+    # pushed code 255 to ~1.022.  The stochastic-rounding encoder has
+    # E[code] = scaled value, so codes/255 is the unbiased inverse.
+    full = ulaw_decode_u8(np.array([255], np.uint8))
+    assert full[0] <= 1.0
+    neg = ulaw_decode_u8(np.array([0], np.uint8))
+    assert neg[0] >= -1.0
+    # many-seed average of encode->decode of a constant must approach it
+    x = np.full((1, 4096), 0.5, np.float32)
+    est = np.mean([ulaw_decode_u8(ulaw_encode_u8(x, seed=s)).mean()
+                   for s in range(8)])
+    assert abs(est - 0.5) < 2e-3

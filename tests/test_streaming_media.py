@@ -226,3 +226,29 @@ def test_caf_container_decodes(tmp_path):
     assert buf.number_of_channels == 2
     got = buf.to_array()[:, :n]
     np.testing.assert_allclose(got, sig, atol=2e-4)
+
+
+def test_decoder_fallback_rewinds_after_probe(tmp_path, monkeypatch):
+    # advisor round-3: when codec_open_stream fails AFTER its container
+    # probe consumed bytes, the whole-file fallback must rewind a seekable
+    # source instead of decoding from a mid-stream position
+    import webaudio_tpu.media.decoding as dec_mod
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float32) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    path = tmp_path / "probe.wav"
+    write_wav(str(path), x[None, :], sr)
+
+    def consuming_probe(f):
+        f.read(512)  # container probe eats bytes, then gives up
+        raise RuntimeError("no codec")
+
+    monkeypatch.setattr("webaudio_tpu.native.codec_open_stream",
+                        consuming_probe)
+    with open(path, "rb") as f:
+        md = dec_mod.MediaDecoder(f, chunk_frames=4096)
+        chunks = [c.to_array() for c in md]
+    got = np.concatenate(chunks, axis=1)
+    ref = decode_audio_data(path.read_bytes()).to_array()
+    np.testing.assert_allclose(got, ref, atol=1e-6)

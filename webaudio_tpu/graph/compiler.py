@@ -141,6 +141,7 @@ class CompiledGraph:
     block_frames: int
     sample_rate: float
     n_dest_channels: int
+    total_frames: int
     muted: set
     cycle_breakers: set
     jit_scan: Any = None
@@ -494,7 +495,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         block_fn=block_fn, order=ordered.order, kernels=kernels,
         in_counts=in_counts, out_counts=out_counts, param_plan=param_plan,
         block_frames=block_frames, sample_rate=sample_rate,
-        n_dest_channels=n_dest_channels, muted=ordered.muted,
+        n_dest_channels=n_dest_channels, total_frames=total_frames,
+        muted=ordered.muted,
         cycle_breakers=ordered.cycle_breakers, failed=failed,
         dense_params=dense_params, param_alias=param_alias,
         param_objects=param_objects)

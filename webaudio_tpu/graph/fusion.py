@@ -321,6 +321,12 @@ class _FusedVoicesKernel:
     """(V, B) vectorization of _OscillatorKernel x GainNode semantics
     (see nodes/oscillator.py:34-108; reference oscillator.rs:419-560)."""
 
+    # read only via staged resources: data_host feeds data_rows/edge_vals/
+    # window layouts; start_times feeds the staged offset_pos/delta_elapsed
+    # and lane tables.  Same-shape different-value banks may bucket together
+    # in MixedGraphBatch (their staged leaves stack per instance).
+    _fp_staged_attrs = ("data_host", "start_times")
+
     def __init__(self, node: _FusedVoicesNode, rc):
         from ..nodes.oscillator import OscillatorType
 
@@ -748,6 +754,20 @@ class _FusedVoicesKernel:
             res["rates"] = self.rates
             res["offsets"] = self.offsets
             res["durations"] = self.durations
+            if not self.use_lanes:
+                # closed-form playhead constants for the non-lane path,
+                # staged (NOT baked into the trace) so MixedGraphBatch can
+                # stack them per instance: two banks that differ only in
+                # per-voice start offsets/times must not share one trace's
+                # baked values
+                fs64 = float(self.fs)
+                started = self.starts < 2**31 - 1
+                delta = np.where(started,
+                                 self.starts / fs64 - self.start_times, 0.0)
+                offset_eff = np.clip(self.offsets + delta * self.rates,
+                                     0.0, self.buf_duration)
+                res["offset_pos"] = offset_eff * self.buf_rate       # (V,) f64
+                res["delta_elapsed"] = np.abs(delta * self.rates) * fs64
             if self.use_lanes:
                 res["offset_pos"] = self.offset_pos
                 res["dur_end"] = self.dur_end
@@ -1045,24 +1065,19 @@ class _FusedVoicesKernel:
 
         if self.is_bufsrc:
             # vectorized constant-rate closed-form playhead
-            # (nodes/buffer_source.py _process_closed_form)
+            # (nodes/buffer_source.py _process_closed_form); the playhead
+            # constants (offset_pos, delta_elapsed) come through the staged
+            # resources, never baked into the trace (see resources())
             fs64 = float(fs)
-            started = self.starts < 2**31 - 1
-            delta = np.where(started,
-                             self.starts / fs64 - self.start_times, 0.0)
-            offset_eff = np.clip(self.offsets + delta * self.rates,
-                                 0.0, self.buf_duration)
-            offset_pos = offset_eff * self.buf_rate          # (V,) static
             ratio = self.buf_rate / fs64
             n_rel = (t[None, :] - r["starts"][:, None]).astype(jnp.float64)
             # sub-sample starts contribute |delta*rate| of elapsed duration
             # up front (nodes/buffer_source.py, reference rs:689)
-            delta_elapsed = np.abs(delta * self.rates) * fs64  # (V,) static
             dur_ok = (n_rel * jnp.abs(r["rates"])[:, None]
-                      + jnp.asarray(delta_elapsed)[:, None]
+                      + r["delta_elapsed"][:, None]
                       < r["durations"][:, None] * fs64)
             active = mask & dur_ok
-            pos = (jnp.asarray(offset_pos)[:, None]
+            pos = (r["offset_pos"][:, None]
                    + (r["rates"] * ratio)[:, None] * n_rel)   # (V, B) f64
             valid = active & (pos >= 0.0) & (pos < float(self.buf_len))
             floored = jnp.floor(pos)

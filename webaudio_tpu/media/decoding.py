@@ -68,12 +68,26 @@ class MediaDecoder:
         self._f = f
         self._stream = None
         self._whole = None
+        start_pos = None
+        if hasattr(f, "tell") and getattr(f, "seekable", lambda: False)():
+            try:
+                start_pos = f.tell()
+            except OSError:
+                start_pos = None
         try:
             from ..native import codec_open_stream
 
             self._stream = codec_open_stream(f)
         except Exception:
             self._stream = None
+        if self._stream is None and start_pos is not None:
+            # codec_open_stream's container probe consumed bytes through the
+            # read callback before failing; rewind so the whole-file
+            # fallback doesn't decode from a mid-stream position
+            try:
+                f.seek(start_pos)
+            except OSError:
+                pass
         if self._stream is not None:
             self.sample_rate = float(self._stream.rate)
             self.number_of_channels = int(self._stream.channels)

@@ -56,6 +56,11 @@ def _masked_cumsum_f64(values64, mask):
 
 
 class _BufferSourceKernel(Kernel):
+    # data_host is only ever read through the staged-resource path
+    # (data_rows/edge_vals/_read_resources), so MixedGraphBatch may bucket
+    # same-shape different-content buffers together and stack them
+    _fp_staged_attrs = ("data_host",)
+
     def __init__(self, node: "AudioBufferSourceNode", rc):
         self.sample_rate = rc.sample_rate
         self.node = node

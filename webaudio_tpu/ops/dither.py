@@ -161,7 +161,12 @@ def ulaw_encode_u8(x, seed: int = 0):
 
 
 def ulaw_decode_u8(codes) -> np.ndarray:
-    """Expand u8 u-law codes back to f32 (host-side consumer step)."""
-    y = (np.asarray(codes, np.float32) + 0.5) / 255.0 * 2.0 - 1.0
-    return (np.sign(y) * (np.power(1.0 + _MU, np.abs(y)) - 1.0)
-            / _MU).astype(np.float32)
+    """Expand u8 u-law codes back to f32 (host-side consumer step).
+
+    The encoder stochastically rounds with E[code] = scaled value, so the
+    unbiased inverse is codes/255 (a +0.5-LSB shift would bias every
+    sample and expand code 255 past full scale); output clips to [-1, 1]
+    like the encoder's input domain."""
+    y = np.asarray(codes, np.float32) / 255.0 * 2.0 - 1.0
+    out = (np.sign(y) * (np.power(1.0 + _MU, np.abs(y)) - 1.0) / _MU)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)

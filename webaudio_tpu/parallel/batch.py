@@ -305,14 +305,18 @@ def default_mesh(axis: str = "graphs") -> Mesh:
 # --- mixed-topology batching (SURVEY §7 build-plan item 8) -----------------
 
 
-def _fp_tokens(v, out: list, depth: int = 0):
+def _fp_tokens(v, out: list, depth: int = 0, staged_ids: frozenset = frozenset()):
     """Append hashable fingerprint tokens for one kernel attribute.
 
     Everything BAKED into the traced closure must reach the fingerprint by
-    VALUE (scalars, strings, schedule frames, baked coefficients); bulk
-    array data is fingerprinted by shape/dtype only because per-instance
-    content rides the staged-resource path, where differing leaves get
-    stacked and vmapped (see MixedGraphBatch)."""
+    VALUE (scalars, strings, schedule frames, baked coefficients, and —
+    since round 4 — host numpy arrays the kernel closes over).  Arrays that
+    provably ride the staged-resource path (same object returned by
+    `resources()`, or named in the kernel's `_fp_staged_attrs`) keep
+    shape/dtype-only tokens: per-instance content there gets stacked and
+    vmapped by MixedGraphBatch, so value differences must NOT split
+    buckets.  Device arrays also stay shape/dtype-only (hashing them would
+    force device->host readbacks; kernels must not bake device arrays)."""
     if depth > 6:
         out.append("deep")
         return
@@ -323,18 +327,32 @@ def _fp_tokens(v, out: list, depth: int = 0):
     elif isinstance(v, (list, tuple)):
         out.append(f"seq{len(v)}")
         for item in v:
-            _fp_tokens(item, out, depth + 1)
+            _fp_tokens(item, out, depth + 1, staged_ids)
     elif isinstance(v, dict):
         out.append(f"map{len(v)}")
         for k in sorted(v, key=repr):
             out.append(repr(k))
-            _fp_tokens(v[k], out, depth + 1)
-    elif isinstance(v, np.ndarray) or hasattr(v, "shape"):
+            _fp_tokens(v[k], out, depth + 1, staged_ids)
+    elif isinstance(v, np.ndarray):
+        out.append(f"arr{tuple(v.shape)}{v.dtype}")
+        if id(v) not in staged_ids:
+            # not a staged resource: the trace may bake these values in, so
+            # two graphs differing here must land in different buckets
+            import hashlib
+
+            out.append(hashlib.sha1(
+                np.ascontiguousarray(v).tobytes()).hexdigest()[:16])
+    elif hasattr(v, "shape"):
         out.append(f"arr{tuple(v.shape)}{getattr(v, 'dtype', '')}")
     elif callable(v):
         # same callable object => same bucket; different callables split
         # (over-splitting is safe, silently sharing user code is not)
         out.append(f"fn{getattr(v, '__qualname__', '')}{id(v)}")
+    elif callable(getattr(v, "process", None)):
+        # worklet processor instances carry user state/options the kernel
+        # runs verbatim: identity-split like callables (over-split is safe,
+        # silently running the leader's processor for another node is not)
+        out.append(f"proc{type(v).__name__}{id(v)}")
     else:
         # webaudio objects (node back-refs etc.): type identity only —
         # their kernel-relevant content is copied onto the kernel
@@ -350,6 +368,9 @@ def graph_fingerprint(cg) -> str:
 
     toks: list = [
         f"B{cg.block_frames}", f"fs{cg.sample_rate}",
+        f"T{cg.total_frames}",   # render length: lengths sharing a block
+                                 # size (delay-bound cyclic graphs) must
+                                 # still bucket apart — nb/total differ
         f"dc{cg.n_dest_channels}",
         repr(cg.order), repr(sorted(cg.muted)),
         repr(sorted(cg.cycle_breakers)),
@@ -363,13 +384,25 @@ def graph_fingerprint(cg) -> str:
             toks.append(f"c{key}={np.float32(plan.scalar)!r}")
     for nid in sorted(cg.kernels):
         kern = cg.kernels[nid]
-        toks.append(f"k{nid}:{type(kern).__name__}")
+        r = kern.resources()
+        # arrays that ride the staged-resource path fingerprint by
+        # shape/dtype only (per-instance values stack in MixedGraphBatch):
+        # attrs returned as-is from resources(), plus attrs the kernel
+        # declares fully captured by derived resources (_fp_staged_attrs)
+        staged: set = set()
+        if r is not None:
+            for leaf in jax.tree_util.tree_leaves(r):
+                staged.add(id(leaf))
         d = getattr(kern, "__dict__", None)
+        for name in getattr(kern, "_fp_staged_attrs", ()):
+            if d and isinstance(d.get(name), np.ndarray):
+                staged.add(id(d[name]))
+        staged_ids = frozenset(staged)
+        toks.append(f"k{nid}:{type(kern).__name__}")
         if d:
             for name in sorted(d):
                 toks.append(name)
-                _fp_tokens(d[name], toks)
-        r = kern.resources()
+                _fp_tokens(d[name], toks, staged_ids=staged_ids)
         if r is not None:
             for lk in sorted(r):
                 arr = np.asarray(r[lk])
@@ -423,6 +456,17 @@ class MixedGraphBatch:
                                                    plans=cg.param_plan)
                 gb._xs[j] = rows.reshape(
                     rows.shape[0], gb.nb, gb.cg.block_frames).transpose(1, 0, 2)
+            # initial states: stacked per member (a worklet processor's
+            # processor_options, an analyser's ring, etc. may differ even
+            # inside one bucket — broadcasting the leader's states would
+            # silently run the leader's state for every member)
+            member_states = [
+                {_compiler._k(nid): k.init_state()
+                 for nid, k in cg.kernels.items()}
+                for (_, _, cg) in members]
+            gb._states = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *member_states)
             # resources: leaves identical across members stay shared;
             # differing leaves stack along a new batch axis and vmap
             member_res = [_compiler.collect_resources(cg)
