@@ -94,6 +94,19 @@ def main():
         ctx, seconds = build(**kw)
         measure(name, ctx, seconds)
 
+    # round-4 A/B: per-lane spliced envelopes (default) vs the round-3
+    # per-voice dense rows + per-quantum row gathers (WEBAUDIO_LANE_ENV=0)
+    os.environ["WEBAUDIO_LANE_ENV"] = "0"
+    try:
+        for name, kw in [
+            ("r3_voice_rows_400", dict()),
+            ("r3_voice_rows_800", dict(n_grains=800)),
+        ]:
+            ctx, seconds = build(**kw)
+            measure(name, ctx, seconds)
+    finally:
+        os.environ.pop("WEBAUDIO_LANE_ENV", None)
+
 
 if __name__ == "__main__":
     main()

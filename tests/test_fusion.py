@@ -834,3 +834,93 @@ def test_compact_env_matches_dense_rows():
                               np.zeros((2, ctx2.length), np.float32))
     finally:
         os.environ.pop("WEBAUDIO_COMPACT_ENV", None)
+
+
+def _grain_ctx(n_grains=48, seconds=1.0, seed=3, ramp=0.4):
+    """A fused grain bank at lane-env density (short enveloped grains)."""
+    from webaudio_tpu import OfflineAudioContext
+
+    fs = 44100.0
+    ctx = OfflineAudioContext(2, int(fs * seconds), fs)
+    sample = ctx.decode_audio_data_sync(
+        "/root/reference/samples/sample.wav")
+    rng = np.random.RandomState(seed)
+    for i in range(n_grains):
+        when = i * (seconds - 0.2) / n_grains
+        src = ctx.create_buffer_source(
+            playback_rate=float(0.9 + 0.2 * rng.rand()))
+        src.buffer = sample
+        env = ctx.create_gain(gain=0.0)
+        env.gain.set_value_at_time(0.0, when)
+        env.gain.linear_ramp_to_value_at_time(ramp, when + 0.045)
+        env.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+        src.connect(env)
+        env.connect(ctx.destination)
+        src.start(when, 0.3 + 0.8 * (i / n_grains), 0.09)
+    return ctx
+
+
+def test_lane_env_matches_voice_rows():
+    """Per-lane spliced envelopes (_LaneEnvParam) must match the per-voice
+    dense-row path exactly (grain spans within a lane are disjoint)."""
+    try:
+        os.environ["WEBAUDIO_GRAIN_LANES"] = "0"
+        dense = _grain_ctx().start_rendering_sync().to_array()
+    finally:
+        os.environ.pop("WEBAUDIO_GRAIN_LANES", None)
+    ctx = _grain_ctx()
+    from webaudio_tpu.graph import compiler as C
+
+    cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                         ctx.sample_rate, ctx.length,
+                         ctx._destination.node_id)
+    fused = [k for k in cg.kernels.values()
+             if type(k).__name__.startswith("_FusedVoices")]
+    assert fused and fused[0].lane_env and fused[0].use_lanes
+    # K lane rows in xs, not V voice rows
+    assert len(cg.dense_params) == fused[0].K
+    got = ctx.start_rendering_sync().to_array()
+    assert np.abs(dense).max() > 0.01
+    np.testing.assert_allclose(got, dense, atol=2e-6)
+
+
+def test_lane_env_checkpoint_resume(tmp_path):
+    """RenderSession streams lane-env rows via compile_for_render with a
+    mid-render start_frame; resumed output must match one-shot."""
+    from webaudio_tpu.checkpoint import RenderSession
+
+    full = _grain_ctx().start_rendering_sync().to_array()
+    n = _grain_ctx().length
+
+    ctx2 = _grain_ctx()
+    s = RenderSession(ctx2, quanta_per_block=32)
+    half = (n // 2) // 4096 * 4096
+    first = s.step(half)
+    ck = str(tmp_path / "lane.npz")
+    s.save(ck)
+    ctx3 = _grain_ctx()
+    s2 = RenderSession(ctx3, quanta_per_block=32)
+    s2.restore(ck)
+    second = s2.step((n - half) // 4096 * 4096)
+    got = np.concatenate([first, second], axis=1)
+    np.testing.assert_allclose(got, full[:, :got.shape[1]], atol=5e-6)
+
+
+def test_lane_env_mixed_batch_and_override_error():
+    from webaudio_tpu.parallel.batch import GraphBatch, MixedGraphBatch
+
+    a, b = _grain_ctx(seed=3), _grain_ctx(seed=3, ramp=0.7)
+    ra = _grain_ctx(seed=3).start_rendering_sync().to_array()
+    rb = _grain_ctx(seed=3, ramp=0.7).start_rendering_sync().to_array()
+    mb = MixedGraphBatch([a, b])
+    outs = mb.render()
+    np.testing.assert_allclose(outs[0], ra, atol=2e-5)
+    np.testing.assert_allclose(outs[1], rb, atol=2e-5)
+
+    ctx = _grain_ctx()
+    env0 = next(n_ for n_ in ctx._nodes.values()
+                if type(n_).__name__ == "GainNode")
+    gb = GraphBatch(ctx, batch=2)
+    with pytest.raises(ValueError, match="WEBAUDIO_GRAIN_LANES"):
+        gb.override_param(env0, "gain",
+                          np.zeros((2, ctx.length), np.float32))

@@ -38,7 +38,8 @@ def collect_diagnostics(context) -> dict:
         from .graph import fusion as _fusion
         n2, _, alias = _fusion.fuse_sources(
             dict(context._nodes), list(context._edges),
-            context._destination.node_id)
+            context._destination.node_id,
+            sample_rate=context.sample_rate)
         fused = {nid: node for nid, node in n2.items() if nid < 0}
         diag["fusion"] = {
             "groups": [{

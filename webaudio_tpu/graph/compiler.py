@@ -197,7 +197,8 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
 
     # rewrite homogeneous source chains into (V, B) fused banks before
     # anything looks at the topology (see graph/fusion.py)
-    nodes, edges, param_alias = _fusion.fuse_sources(nodes, edges, dest_id)
+    nodes, edges, param_alias = _fusion.fuse_sources(
+        nodes, edges, dest_id, sample_rate=sample_rate)
 
     node_ids = list(nodes.keys())
     delay_ids = {nid for nid, n in nodes.items() if isinstance(n, DelayNode)}

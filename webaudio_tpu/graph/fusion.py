@@ -46,9 +46,13 @@ def fuse_threshold() -> int:
         return 32
 
 
-def fuse_sources(nodes: dict, edges: list, dest_id: int):
+def fuse_sources(nodes: dict, edges: list, dest_id: int,
+                 sample_rate: float | None = None):
     """-> (nodes', edges', param_alias) where param_alias maps each fused
-    member's (node_id, param_name) to its (fused_id, alias) row key."""
+    member's (node_id, param_name) to its (fused_id, alias) row key.
+
+    sample_rate enables fuse-time grain-lane planning for buffer-source
+    banks (lane-packed kernels + per-lane spliced envelope params)."""
     threshold = fuse_threshold()
     if threshold <= 0 or len(nodes) < threshold:
         return nodes, edges, {}
@@ -228,7 +232,8 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
             panners=[nodes[m[4]] if m[4] is not None else None
                      for m in members],
             shapers=[nodes[m[1]] if m[1] is not None else None
-                     for m in members])
+                     for m in members],
+            sample_rate=sample_rate)
         nodes2[fid] = fnode
         for i, (onid, wnid, fnid, gnid, pnid) in enumerate(members):
             removed.add(onid)
@@ -259,6 +264,218 @@ def fuse_sources(nodes: dict, edges: list, dest_id: int):
     return nodes2, edges2, param_alias
 
 
+class _GrainLanePlan:
+    """Host-side grain-lane packing for a fused buffer-source bank.
+
+    Computed at FUSE time (not kernel-build time) so the fused node can
+    declare per-LANE envelope params before param compilation: grain
+    schedules are compile-time-known when rates are constant — the same
+    insight that made automation dense."""
+
+    __slots__ = ("starts", "stops", "rates", "offsets", "durations",
+                 "start_times", "offset_pos", "delta_elapsed", "dur_end",
+                 "ends", "use_lanes", "K", "lane_start", "lane_end",
+                 "lane_voice", "lanes")
+
+
+def _plan_grain_lanes(sources, fs: float) -> _GrainLanePlan:
+    """Pack time-localized grains into K << V concurrency lanes.
+
+    The naive (V, B) grain bank issues 2*V*B HBM gathers per block —
+    ~600 Melem/s on v5e makes a 400-grain cloud GATHER-bound (the honest
+    granular bench ran at 7x realtime).  Grains are short and sequential,
+    so the peak overlap is tiny (~4 of 400): greedy interval partitioning
+    (optimal for interval graphs) assigns each grain to a lane, and the
+    kernel renders (K, B) instead of (V, B) — a ~V/K reduction in
+    gathered samples.  Requires a conservative UPPER bound on each
+    grain's audible end (buffer exit, duration cap, stop time); unbounded
+    voices keep a dedicated lane."""
+    import os
+
+    p = _GrainLanePlan()
+    V = len(sources)
+    buf = sources[0].buffer
+    buf_len = buf.length
+    buf_rate = buf.sample_rate
+    buf_duration = buf.length / buf.sample_rate
+    ratio = buf_rate / fs
+    INF = 2**31 - 1
+
+    starts, stops = [], []
+    rates, offsets, durations, start_times = [], [], [], []
+    for o in sources:
+        start, stop = o._schedule_frames(fs)
+        starts.append(min(start, INF))
+        stops.append(min(stop, INF))
+        pr = np.float64(np.float32(o.playback_rate.value))
+        dt_ = np.float64(np.float32(o.detune.value))
+        rates.append(float(pr * np.exp2(dt_ / 1200.0)))
+        offsets.append(float(o._offset))
+        d = o._duration
+        durations.append(np.inf if d is None else float(d))
+        start_times.append(0.0 if o._start_time is None
+                           else float(o._start_time))
+    p.starts = np.asarray(starts, np.int32)
+    p.stops = np.asarray(stops, np.int32)
+    p.rates = np.asarray(rates, np.float64)
+    p.offsets = np.asarray(offsets, np.float64)
+    p.durations = np.asarray(durations, np.float64)
+    p.start_times = np.asarray(start_times, np.float64)
+
+    offset_pos = np.zeros(V, np.float64)
+    delta_el = np.zeros(V, np.float64)
+    ends = np.zeros(V, np.int64)
+    for i in range(V):
+        start = int(p.starts[i])
+        if start >= INF:
+            offset_pos[i] = 0.0
+            ends[i] = start
+            continue
+        delta = start / fs - p.start_times[i]
+        off_eff = min(max(p.offsets[i] + delta * p.rates[i], 0.0),
+                      buf_duration)
+        offset_pos[i] = off_eff * buf_rate
+        delta_el[i] = abs(delta * p.rates[i]) * fs
+        cand = [float(p.stops[i])]
+        r_ = p.rates[i] * ratio  # buffer samples per frame
+        if r_ > 0:
+            cand.append(start + (buf_len - offset_pos[i]) / r_ + 2)
+        elif r_ < 0:
+            cand.append(start + offset_pos[i] / (-r_) + 2)
+        if np.isfinite(p.durations[i]) and abs(p.rates[i]) > 0:
+            cand.append(start + (p.durations[i] * fs - delta_el[i])
+                        / abs(p.rates[i]) + 2)
+        ends[i] = int(min(min(cand), INF))
+    p.offset_pos = offset_pos
+    p.delta_elapsed = delta_el
+    p.ends = ends
+
+    # duration cutoff frame per voice, computed to match the per-sample
+    # f64 comparison `n_rel*|rate| + delta_el < dur*fs` exactly (probe
+    # the three candidate frames around the analytic boundary)
+    dur_end = np.full(V, INF, np.int64)
+    for i in range(V):
+        if not np.isfinite(p.durations[i]) or p.rates[i] == 0.0:
+            continue
+        rhs = (p.durations[i] * fs - delta_el[i]) / abs(p.rates[i])
+        k0 = int(np.floor(rhs))
+        cut = k0 + 2
+        for kk in (max(k0 - 1, 0), k0, k0 + 1):
+            if not (kk * abs(p.rates[i]) + delta_el[i]
+                    < p.durations[i] * fs):
+                cut = kk
+                break
+        dur_end[i] = min(int(p.starts[i]) + cut, INF)
+    p.dur_end = dur_end.astype(np.int32)
+
+    order = np.argsort(p.starts, kind="stable")
+    lane_end: list = []
+    lane_last_start: list = []
+    lanes: list = []
+    for i in order:
+        s, e = int(p.starts[i]), int(ends[i])
+        for k in range(len(lane_end)):
+            # the second condition keeps starts >= one quantum apart
+            # within a lane, so a quantum sees at most one grain switch
+            # (the kernel's per-quantum gid + one correction relies on it)
+            if lane_end[k] <= s and s - lane_last_start[k] >= 128:
+                lanes[k].append(int(i))
+                lane_end[k] = e
+                lane_last_start[k] = s
+                break
+        else:
+            lanes.append([int(i)])
+            lane_end.append(e)
+            lane_last_start.append(s)
+    K = len(lanes)
+    p.lanes = lanes
+    p.K = K
+    # extreme playback rates would overflow the lane path's i32 playhead
+    # rebase (the dense (V, B) path stays f64 end-to-end)
+    sane_rates = float(np.max(np.abs(p.rates))) * ratio <= 64.0
+    p.use_lanes = (K * 4 <= V and sane_rates
+                   and os.environ.get("WEBAUDIO_GRAIN_LANES", "1") != "0")
+    if not p.use_lanes:
+        return p
+    G = max(len(m) for m in lanes)
+    lane_start = np.full((K, G), INF, np.int32)
+    lane_endv = np.zeros((K, G), np.int32)
+    lane_voice = np.zeros((K, G), np.int32)
+    for k, members in enumerate(lanes):
+        for j, i in enumerate(members):
+            lane_start[k, j] = p.starts[i]
+            lane_endv[k, j] = min(int(ends[i]), INF)
+            lane_voice[k, j] = i
+    p.lane_start = lane_start
+    p.lane_end = lane_endv
+    p.lane_voice = lane_voice
+    return p
+
+
+class _LaneEnvParam:
+    """Synthetic per-LANE gain param for a lane-packed grain bank.
+
+    The dense-param path previously streamed one full-length row per
+    VOICE (400 envelope rows = ~700 MB of automation per granular render)
+    and selected rows per quantum on device.  Grain spans within a lane
+    are disjoint by construction, so the K lane rows are spliced
+    host-side from each member's own compiled envelope — the kernel then
+    reads gain as a plain (K, B) xs slice with no selection at all.
+    Rides the same dense-param machinery as real AudioParams: implements
+    `compile_for_render` (offline/batch/segments/checkpoint drivers) and
+    `advance_dense` (online streaming driver)."""
+
+    def __init__(self, plan: _GrainLanePlan, k: int, gains):
+        self._plan = plan
+        self._members = list(plan.lanes[k])
+        self._gains = gains
+        g0 = gains[self._members[0]].params["gain"]
+        self.min_value = g0.min_value
+        self.max_value = g0.max_value
+        self.default_value = 0.0
+
+    def _splice(self, row, i, vals, gparam, start_frame, length):
+        INF = 2**31 - 1
+        s_abs = int(self._plan.starts[i])
+        if s_abs >= INF:
+            return
+        e_abs = int(min(self._plan.ends[i], start_frame + length))
+        s = max(s_abs - start_frame, 0)
+        e = e_abs - start_frame
+        if e <= s:
+            return
+        if np.isscalar(vals):
+            row[s:e] = np.float32(
+                min(max(vals, gparam.min_value), gparam.max_value))
+        else:
+            row[s:e] = np.clip(vals[s:e], gparam.min_value,
+                               gparam.max_value)
+
+    def compile_for_render(self, sample_rate: float, length: int,
+                           start_frame: int = 0,
+                           force_dense: bool = False):
+        from .. import automation as _automation
+
+        row = np.zeros(length, np.float32)
+        for i in self._members:
+            g = self._gains[i].params["gain"]
+            mplan = g.compile_for_render(sample_rate, length, start_frame)
+            vals = mplan.scalar if mplan.is_constant else mplan.dense
+            self._splice(row, i, vals, g, start_frame, length)
+        return _automation.CompiledParam(None, row, 0.0, None)
+
+    def advance_dense(self, sample_rate: float, length: int,
+                      start_frame: int = 0) -> np.ndarray:
+        row = np.zeros(length, np.float32)
+        for i in self._members:
+            # advance EVERY member's live timeline each chunk (keeps their
+            # state machines in lockstep with the render position)
+            g = self._gains[i].params["gain"]
+            vals = g.advance_dense(sample_rate, length, start_frame)
+            self._splice(row, i, vals, g, start_frame, length)
+        return row
+
+
 class _FusedVoicesNode:
     """Synthetic graph node standing in for V fused source chains.
 
@@ -270,7 +487,7 @@ class _FusedVoicesNode:
     number_of_outputs = 1
 
     def __init__(self, fid, sources, gains, kind, filters=None,
-                 panners=None, shapers=None):
+                 panners=None, shapers=None, sample_rate=None):
         self.node_id = fid
         # block-size budget: the kernel materializes ~(V, B) f64 temporaries
         # (phase math), i.e. ~4V times a single node's (1, B) f32 buffers
@@ -282,6 +499,15 @@ class _FusedVoicesNode:
         self.shapers = shapers or [None] * len(sources)
         self.kind = kind  # OscillatorType, "const_src", or ("bufsrc", id)
         self._channel_config = sources[0]._channel_config
+        self.lane_plan = None
+        self.lane_env = False
+        if (isinstance(kind, tuple) and kind[0] == "bufsrc"
+                and sample_rate is not None):
+            self.lane_plan = _plan_grain_lanes(sources, float(sample_rate))
+            if self.lane_plan.use_lanes:
+                # lane-packed temporaries are (K, B), not (V, B): budget on
+                # K so the block policy can pick render-sized blocks
+                self.compile_weight = 4 * self.lane_plan.K + 4
         # aliases grouped by param KIND so each group's dense rows pack
         # contiguously in cg.dense_params (gather_params slices per group)
         self._params = {}
@@ -295,9 +521,23 @@ class _FusedVoicesNode:
                 self._params[f"v{i}.frequency"] = src.params["frequency"]
             for i, src in enumerate(sources):
                 self._params[f"v{i}.detune"] = src.params["detune"]
-        for i, g in enumerate(gains):
-            if g is not None:
-                self._params[f"v{i}.gain"] = g.params["gain"]
+        if (self.lane_plan is not None and self.lane_plan.use_lanes
+                and gains[0] is not None
+                and os.environ.get("WEBAUDIO_LANE_ENV", "1") != "0"
+                and os.environ.get("WEBAUDIO_COMPACT_ENV", "0") != "1"):
+            # per-LANE spliced envelopes instead of per-voice rows: K dense
+            # rows in xs, read verbatim by the kernel (no device-side
+            # selection; see _LaneEnvParam).  WEBAUDIO_COMPACT_ENV=1 opts
+            # into the analytic-segment study path instead (per-voice rows
+            # + compact tables).
+            self.lane_env = True
+            for k in range(self.lane_plan.K):
+                self._params[f"lane{k}.gain"] = _LaneEnvParam(
+                    self.lane_plan, k, gains)
+        else:
+            for i, g in enumerate(gains):
+                if g is not None:
+                    self._params[f"v{i}.gain"] = g.params["gain"]
 
     @property
     def params(self):
@@ -404,27 +644,35 @@ class _FusedVoicesKernel:
             self.tables = np.stack(
                 [np.asarray(o._periodic_wave.as_array(), np.float32)
                  for o in node.sources])
+        self.use_lanes = False
+        self.lane_env = node.lane_env
         if self.is_bufsrc:
             buf = node.sources[0].buffer
             self.buf_len = buf.length
             self.buf_rate = buf.sample_rate
             self.buf_duration = buf.length / buf.sample_rate
             self.data_host = buf.to_array()  # (C, L) shared by all voices
-            rates, offsets, durations = [], [], []
-            for src in node.sources:
-                pr = np.float64(np.float32(src.playback_rate.value))
-                dt_ = np.float64(np.float32(src.detune.value))
-                rates.append(float(pr * np.exp2(dt_ / 1200.0)))
-                offsets.append(float(src._offset))
-                d = src._duration
-                durations.append(np.inf if d is None else float(d))
-            self.rates = np.asarray(rates, np.float64)
-            self.offsets = np.asarray(offsets, np.float64)
-            self.durations = np.asarray(durations, np.float64)
-            self.start_times = np.asarray(
-                [0.0 if o._start_time is None else float(o._start_time)
-                 for o in node.sources], np.float64)
-            self._pack_grain_lanes(fs)
+            # the lane plan (and every schedule-derived host array) comes
+            # from the node, computed at fuse time — the same object whose
+            # lane structure shaped the node's param declaration
+            lp = node.lane_plan if node.lane_plan is not None else \
+                _plan_grain_lanes(node.sources, fs)
+            self.starts = lp.starts
+            self.stops = lp.stops
+            self.rates = lp.rates
+            self.offsets = lp.offsets
+            self.durations = lp.durations
+            self.start_times = lp.start_times
+            self.offset_pos = lp.offset_pos
+            self.delta_elapsed = lp.delta_elapsed
+            self.dur_end = lp.dur_end
+            self.use_lanes = lp.use_lanes
+            if self.use_lanes:
+                self.K = lp.K
+                self.lane_start = lp.lane_start
+                self.lane_end = lp.lane_end
+                self.lane_voice = lp.lane_voice
+                self._pick_window()
 
         plans = rc.param_plans
 
@@ -464,7 +712,13 @@ class _FusedVoicesKernel:
             self.all_const_freq = (len(self.freq_dense) == 0
                                    and len(self.det_dense) == 0)
         self.compact_env = None
-        if self.has_gain:
+        if self.has_gain and self.lane_env:
+            # gains compiled into spliced per-lane rows (_LaneEnvParam):
+            # the kernel reads the (K, B) xs slice verbatim
+            g0 = node.gains[0].params["gain"]
+            self.gain_lim = (g0.min_value, g0.max_value)
+            self.gain_dense = np.asarray([], np.int32)
+        elif self.has_gain:
             self.gain_const, self.gain_dense = classify(
                 "v{}.gain", lambda i: node.gains[i].params["gain"])
             g0 = node.gains[0].params["gain"]
@@ -574,111 +828,6 @@ class _FusedVoicesKernel:
             val = jnp.where(act, seg_val, val)
         return val.reshape(K, nq * Q)
 
-    def _pack_grain_lanes(self, fs):
-        """Pack time-localized grains into K << V concurrency lanes.
-
-        The naive (V, B) grain bank issues 2*V*B HBM gathers per block —
-        ~600 Melem/s on v5e makes a 400-grain cloud GATHER-bound (the
-        honest granular bench ran at 7x realtime).  Grains are short and
-        sequential, so the peak overlap is tiny (~4 of 400): greedy
-        interval partitioning (optimal for interval graphs) assigns each
-        grain to a lane, and the kernel renders (K, B) instead of (V, B) —
-        a ~V/K reduction in gathered samples.  Requires a conservative
-        UPPER bound on each grain's audible end (buffer exit, duration
-        cap, stop time); unbounded voices keep a dedicated lane."""
-        import os
-
-        V = self.V
-        ratio = self.buf_rate / fs
-        INF = 2**31 - 1
-        offset_pos = np.zeros(V, np.float64)
-        delta_el = np.zeros(V, np.float64)
-        ends = np.zeros(V, np.int64)
-        for i in range(V):
-            start = int(self.starts[i])
-            if start >= INF:
-                offset_pos[i] = 0.0
-                ends[i] = start
-                continue
-            delta = start / fs - self.start_times[i]
-            off_eff = min(max(self.offsets[i] + delta * self.rates[i], 0.0),
-                          self.buf_duration)
-            offset_pos[i] = off_eff * self.buf_rate
-            delta_el[i] = abs(delta * self.rates[i]) * fs
-            cand = [float(self.stops[i])]
-            r_ = self.rates[i] * ratio  # buffer samples per frame
-            if r_ > 0:
-                cand.append(start + (self.buf_len - offset_pos[i]) / r_ + 2)
-            elif r_ < 0:
-                cand.append(start + offset_pos[i] / (-r_) + 2)
-            if np.isfinite(self.durations[i]) and abs(self.rates[i]) > 0:
-                cand.append(start + (self.durations[i] * fs - delta_el[i])
-                            / abs(self.rates[i]) + 2)
-            ends[i] = int(min(min(cand), INF))
-        self.offset_pos = offset_pos
-        self.delta_elapsed = delta_el
-
-        # duration cutoff frame per voice, computed to match the per-sample
-        # f64 comparison `n_rel*|rate| + delta_el < dur*fs` exactly (probe
-        # the three candidate frames around the analytic boundary)
-        dur_end = np.full(V, INF, np.int64)
-        for i in range(V):
-            if not np.isfinite(self.durations[i]) or self.rates[i] == 0.0:
-                continue
-            rhs = (self.durations[i] * fs - delta_el[i]) / abs(self.rates[i])
-            k0 = int(np.floor(rhs))
-            cut = k0 + 2
-            for kk in (max(k0 - 1, 0), k0, k0 + 1):
-                if not (kk * abs(self.rates[i]) + delta_el[i]
-                        < self.durations[i] * fs):
-                    cut = kk
-                    break
-            dur_end[i] = min(int(self.starts[i]) + cut, INF)
-        self.dur_end = dur_end.astype(np.int32)
-
-        order = np.argsort(self.starts, kind="stable")
-        lane_end: list = []
-        lane_last_start: list = []
-        lanes: list = []
-        for i in order:
-            s, e = int(self.starts[i]), int(ends[i])
-            for k in range(len(lane_end)):
-                # the second condition keeps starts >= one quantum apart
-                # within a lane, so a quantum sees at most one grain switch
-                # (the kernel's per-quantum gid + one correction relies on it)
-                if lane_end[k] <= s and s - lane_last_start[k] >= 128:
-                    lanes[k].append(int(i))
-                    lane_end[k] = e
-                    lane_last_start[k] = s
-                    break
-            else:
-                lanes.append([int(i)])
-                lane_end.append(e)
-                lane_last_start.append(s)
-        K = len(lanes)
-        # extreme playback rates would overflow the lane path's i32
-        # playhead rebase (the dense (V, B) path stays f64 end-to-end)
-        sane_rates = float(np.max(np.abs(self.rates))) * ratio <= 64.0
-        self.use_lanes = (K * 4 <= V and sane_rates
-                          and os.environ.get("WEBAUDIO_GRAIN_LANES", "1")
-                          != "0")
-        if not self.use_lanes:
-            return
-        G = max(len(m) for m in lanes)
-        lane_start = np.full((K, G), INF, np.int32)
-        lane_endv = np.zeros((K, G), np.int32)
-        lane_voice = np.zeros((K, G), np.int32)
-        for k, members in enumerate(lanes):
-            for j, i in enumerate(members):
-                lane_start[k, j] = self.starts[i]
-                lane_endv[k, j] = min(int(ends[i]), INF)
-                lane_voice[k, j] = i
-        self.lane_start = lane_start
-        self.lane_end = lane_endv
-        self.lane_voice = lane_voice
-        self.K = K
-        self._pick_window()
-
     def _pick_window(self):
         """Choose the windowed-read geometry (sub-block Qs, window W).
 
@@ -732,6 +881,8 @@ class _FusedVoicesKernel:
         """Contiguous packed-row groups (compile_graph slices each group
         from xs_params in one op instead of 3V gathers)."""
         if self.is_bufsrc:
+            if self.lane_env:
+                return {"gain": [f"lane{k}.gain" for k in range(self.K)]}
             groups = {}
         elif self.is_const_src:
             groups = {"offset": [f"v{i}.offset" for i in range(self.V)]}
@@ -788,7 +939,7 @@ class _FusedVoicesKernel:
                         res["data_rows_g"] = stage_rows(dw, self.win_W)
                     else:
                         res["data_win"] = dw
-                if self.has_gain:
+                if self.has_gain and not self.lane_env:
                     # voice -> dense gain-row slot (-1 = constant gain)
                     lut = np.full(self.V, -1, np.int32)
                     for j, vv in enumerate(self.gain_dense):
@@ -806,7 +957,7 @@ class _FusedVoicesKernel:
                 res["computed_const"] = self.computed_const
             if self.is_custom:
                 res["tables"] = self.tables
-        if self.has_gain:
+        if self.has_gain and not self.lane_env:
             res["gain_const"] = self.gain_const
         if self.has_filter:
             res["h"] = self.h_stack
@@ -912,7 +1063,7 @@ class _FusedVoicesKernel:
                 "base_f": base_f, "rate32": rate64.astype(jnp.float32),
                 "v": v,
             }
-            if self.has_gain:
+            if self.has_gain and not self.lane_env:
                 fields["grow"] = r["gain_row"][v]
                 fields["gconst"] = r["gain_const"][v]
             return fields
@@ -981,7 +1132,16 @@ class _FusedVoicesKernel:
             smp = a * (1.0 - fr)[None] + b * fr[None]
         voices = jnp.where(valid.reshape(K, B)[None], smp, 0.0)
 
-        if self.has_gain:
+        if self.has_gain and self.lane_env:
+            # per-LANE spliced envelope rows (_LaneEnvParam): gain is the
+            # (K, B) xs slice itself — no device-side selection, and xs
+            # shrinks from V rows to K (the 400-row granular case streamed
+            # ~700 MB of automation per render through reshape/transpose/
+            # row-gather machinery; the K-row splice removes all of it)
+            g = jnp.clip(params.get("gain"),
+                         self.gain_lim[0], self.gain_lim[1])
+            voices = voices * g[None]
+        elif self.has_gain:
             grow = sel("grow").reshape(K, B)
             gconst = sel("gconst").reshape(K, B)
             if self.compact_env is not None:

@@ -191,6 +191,13 @@ class GraphBatch:
         key = (node.node_id, param_name)
         key = self.cg.param_alias.get(key, key)  # fused chains remap rows
         kern = self.cg.kernels.get(key[0])
+        if kern is not None and getattr(kern, "lane_env", False) and \
+                str(key[1]).endswith(".gain"):
+            raise ValueError(
+                "this envelope compiled into the grain bank's per-lane "
+                "spliced rows (its per-voice dense row does not exist); "
+                "set WEBAUDIO_GRAIN_LANES=0 before building the context "
+                "to batch-override it")
         if kern is not None and \
                 getattr(kern, "compact_env", None) is not None and \
                 str(key[1]).endswith(".gain"):
