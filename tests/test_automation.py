@@ -208,16 +208,18 @@ def test_set_value_curve_overlap_raises():
         tl.handle_event(ev(SET_VALUE_AT_TIME, 1.0, 4.0))
 
 
-def test_k_rate_left_limit_at_boundary():
-    # a SetValue exactly at a quantum boundary takes effect in the NEXT
-    # quantum for k-rate (reference: compute_buffer early-return,
-    # param.rs:1546-1560)
+def test_k_rate_boundary_event_applies_to_its_block():
+    # a SetValue exactly at a quantum boundary applies to THAT quantum for
+    # k-rate: the reference consumes events with time <= next_block_time
+    # while closing the previous block (strict `>` in
+    # compute_set_value_automation), so the intrinsic at the next block
+    # start already carries it — pinned by the reference's own
+    # test_steps_k_rate (param.rs:1875-1901)
     tl = Timeline(1.0)
     tl.handle_event(ev(SET_VALUE_AT_TIME, 2.0, float(Q)))
     out = dense(tl, 3 * Q, a_rate=False)
     np.testing.assert_array_equal(out[:Q], np.ones(Q, np.float32))
-    # k-rate holds the old value for the boundary quantum
-    np.testing.assert_array_equal(out[Q:2 * Q], np.ones(Q, np.float32))
+    np.testing.assert_array_equal(out[Q:2 * Q], np.full(Q, 2.0, np.float32))
     np.testing.assert_array_equal(out[2 * Q:], np.full(Q, 2.0, np.float32))
 
 

@@ -6,6 +6,8 @@ results must be invariant to the choice, and the slice/gather delay
 formulations must agree.
 """
 
+import os
+
 import numpy as np
 
 import webaudio_tpu as wa
@@ -56,7 +58,23 @@ def test_cycle_blocks_prefer_pow2_when_partitioned():
     src.start()
     cg = _compile(ctx)
     q = cg.block_frames // 128
-    assert q & (q - 1) == 0 and q >= 32, q   # pow2 (64), not 104
+    # round 4: the two-rate compiler widens the OUTER block beyond the
+    # delay bound (the cycle steps at the delay-bounded inner rate inside
+    # an inner scan); the partitioned-FFT constraint becomes "the outer
+    # block keeps >= 4096 samples of pow2 content" and the inner block is
+    # a pow2 multiple-of-64 quanta
+    content = cg.block_frames & -cg.block_frames
+    assert content >= 4096, (q, content)
+    assert q % 64 == 0, q                    # outer = m x pow2 inner (64)
+    # with two-rate disabled the old single-rate invariant holds: pow2
+    # block at the delay bound
+    os.environ["WEBAUDIO_TWO_RATE"] = "0"
+    try:
+        cg1 = _compile(ctx)
+        q1 = cg1.block_frames // 128
+        assert q1 & (q1 - 1) == 0 and q1 >= 32, q1   # pow2 (64), not 104
+    finally:
+        os.environ.pop("WEBAUDIO_TWO_RATE", None)
 
 
 def test_render_invariant_to_block_choice():

@@ -230,3 +230,100 @@ def test_hrtf_interpolates_smoothly_between_vertices():
     max_slope = 0.5 * 2 * np.pi * 500.0 / fs
     jumps = np.abs(np.diff(out[:, 256:], axis=1)).max()
     assert jumps < 6 * max_slope, jumps
+
+
+# --- round 4: numerical anchor against the raw IRCAM measurements ----------
+
+def _measured_sphere():
+    from webaudio_tpu.nodes.hrtf import load_hrir_sphere
+
+    # fs == file rate (44100): no resampling, the returned IRs are raw
+    import struct
+    from webaudio_tpu.nodes.hrtf import HRIR_PATH
+
+    with open(HRIR_PATH, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"HRIR"
+    src_rate, ir_len, n_vert, n_idx = struct.unpack_from("<IIII", data, 4)
+    off = 20 + 4 * n_idx
+    stride = 3 + 2 * ir_len
+    verts = np.frombuffer(data, dtype="<f4", count=n_vert * stride,
+                          offset=off).reshape(n_vert, stride)
+    positions = verts[:, :3]
+    left = verts[:, 3:3 + ir_len]
+    right = verts[:, 3 + ir_len:]
+    return float(src_rate), positions, left, right
+
+
+def _render_impulse_at(az, el, fs, n):
+    """Impulse in the SECOND quantum (constant direction -> the per-quantum
+    crossfade is identity) through the HRTF panner at unit distance."""
+    import webaudio_tpu as wa
+
+    ctx = wa.OfflineAudioContext(2, n, fs)
+    buf = ctx.create_buffer(1, 256, fs)
+    imp = np.zeros(256, np.float32)
+    imp[128] = 1.0
+    buf.copy_to_channel(imp, 0)
+    src = ctx.create_buffer_source()
+    src.buffer = buf
+    src.start()
+    p = ctx.create_panner(panning_model="HRTF")
+    # default listener: forward -z, up +y; Web Audio azimuth 0 = front,
+    # +90 = right (+x); kernel sphere forward = +z
+    p.position_x.set_value(float(np.sin(az) * np.cos(el)))
+    p.position_y.set_value(float(np.sin(el)))
+    p.position_z.set_value(float(-np.cos(az) * np.cos(el)))
+    src.connect(p)
+    p.connect(ctx.destination)
+    out = ctx.start_rendering_sync()
+    return out.to_array()
+
+
+def _peak_lag(a, b):
+    """Lag (samples) of max cross-correlation of a vs b."""
+    n = len(a) + len(b) - 1
+    c = np.fft.irfft(np.fft.rfft(a, n) * np.conj(np.fft.rfft(b, n)), n)
+    lags = np.fft.fftfreq(n, 1.0 / n).astype(int)
+    return int(lags[np.argmax(np.abs(c))])
+
+
+def test_hrtf_matches_measured_hrirs_per_octant():
+    """Anchor: at directions where the sphere has a MEASURED vertex, the
+    rendered impulse response must match the raw HRIR from IRC_1003_C.bin
+    (normalized cross-correlation >= 0.95 per ear, peak-lag within +-1
+    sample) — the expected data comes straight from the file bytes, not
+    from the kernel's own interpolation (reference: panner.rs:239-271 +
+    the hrtf crate's sphere lookup)."""
+    fs, positions, left, right = _measured_sphere()
+    unit = positions / np.linalg.norm(positions, axis=1, keepdims=True)
+    octants = {}
+    for i, p in enumerate(unit):
+        key = (p[0] >= 0, p[1] >= 0, p[2] >= 0)
+        # pick the vertex deepest inside its octant (max min |component|)
+        score = np.min(np.abs(p))
+        if key not in octants or score > octants[key][0]:
+            octants[key] = (score, i)
+    assert len(octants) == 8, "sphere should cover all octants"
+
+    L = left.shape[1]
+    for key, (_, i) in sorted(octants.items()):
+        p = unit[i]
+        az = np.arctan2(p[0], p[2])
+        el = np.arcsin(np.clip(p[1], -1, 1))
+        out = _render_impulse_at(az, el, fs, 128 * 8)
+        got_l = out[0, 128:128 + L]
+        got_r = out[1, 128:128 + L]
+        for got, ref_ir, ear in ((got_l, left[i], "L"), (got_r, right[i], "R")):
+            denom = np.linalg.norm(got) * np.linalg.norm(ref_ir)
+            assert denom > 0, (key, ear)
+            xc = np.correlate(got, ref_ir, mode="full") / denom
+            assert xc.max() >= 0.95, \
+                f"octant {key} ear {ear}: xcorr {xc.max():.3f}"
+            lag = int(np.argmax(xc)) - (L - 1)
+            assert abs(lag) <= 1, f"octant {key} ear {ear}: lag {lag}"
+        # ITD consistency: the measured inter-ear delay must survive
+        lag_ours = _peak_lag(got_l, got_r)
+        lag_meas = _peak_lag(left[i], right[i])
+        assert abs(lag_ours - lag_meas) <= 2, \
+            f"octant {key}: ITD ours {lag_ours} vs measured {lag_meas}"

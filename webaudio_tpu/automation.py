@@ -766,23 +766,17 @@ def _eval_segment_at(seg: _Segment, t: float) -> float:
 def _k_rate_quantize(segments, dense, start_frame, length, dt):
     """k-rate: hold the intrinsic value at each quantum start for the block.
 
-    The intrinsic at a block start is the *left limit* of the dense function:
-    an event applying exactly at the boundary only takes effect in the next
-    block (reference: compute_buffer pushes the pre-event intrinsic before
-    processing events, param.rs:1546-1560)."""
+    An event scheduled EXACTLY at the boundary applies to this block: the
+    reference consumes events with `time <= next_block_time` while closing
+    the previous block (`time > next_block_time` is strictly greater,
+    compute_set_value_automation, param.rs), so the intrinsic pushed at the
+    next block start already carries the boundary event's value — the
+    reference's own test_steps_k_rate (param.rs:1875-1901) pins this.
+    (Round 3 held the left limit here instead; that was a misreading of
+    the push-before-loop order, caught by transcribing the reference's
+    k-rate vectors.)"""
     q = RENDER_QUANTUM_SIZE
     nq = length // q
     assert nq * q == length, "k-rate compile range must be quantum aligned"
     vals = dense.reshape(nq, q)[:, 0].copy()
-    begins = [seg.begin for seg in segments]
-    for b in range(nq):
-        s = start_frame + b * q
-        # find the segment containing sample s
-        import bisect
-
-        i = bisect.bisect_right(begins, s) - 1
-        if i >= 1 and segments[i].begin == s:
-            # boundary coincides with a segment start: left limit is the
-            # previous segment's formula evaluated at the boundary time
-            vals[b] = np.float32(_eval_segment_at(segments[i - 1], s * dt))
     return np.repeat(vals, q)

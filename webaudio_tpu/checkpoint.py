@@ -130,12 +130,15 @@ class RenderSession:
         import jax
         import jax.numpy as jnp
 
-        B = self.block_frames
-        if frames % B != 0:
-            raise ValueError(f"frames must be a multiple of {B}")
+        if frames % self.block_frames != 0:
+            raise ValueError(
+                f"frames must be a multiple of {self.block_frames}")
         self._ensure_compiled()
         cg = self._cg
         ctx = self._context
+        # cyclic graphs may compile to a smaller (delay-bounded) block that
+        # divides the requested session block (compiler.py clamp)
+        B = cg.block_frames
         nb = frames // B
 
         rows = np.zeros((len(cg.dense_params), frames), np.float32)

@@ -265,13 +265,19 @@ class AudioContext(BaseAudioContext):
                     continue
                 rows[i] = p.advance_dense(
                     self.sample_rate, B, self._frame)
-            xs = jnp.asarray(rows[None])  # (nb=1, P, B)
+            # cyclic graphs compile to a delay-bounded block that divides
+            # the buffer (compiler.py clamp): scan nb steps per chunk
+            Bc = cg.block_frames
+            nb = B // Bc
+            xs = jnp.asarray(
+                rows.reshape(-1, nb, Bc).transpose(1, 0, 2))  # (nb, P, Bc)
 
         if getattr(self, "_resources", None) is None:
             self._resources = _compiler.stage_resources(
                 _compiler.collect_resources(cg))
 
-        frame0s = jnp.asarray(np.array([self._frame], np.int32))
+        frame0s = jnp.asarray(
+            self._frame + np.arange(nb, dtype=np.int32) * Bc)
         states, out = cg.jit_scan(self._states, frame0s, xs, self._resources)
         self._states = states
         chunk = np.asarray(out)

@@ -214,8 +214,24 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     ordered = order_graph(node_ids, order_edges, delay_ids)
 
     total_quanta = -(-total_frames // RENDER_QUANTUM_SIZE)
+    two_rate_m = 1          # inner sub-steps per block (two-rate compiler)
+    inner_frames = None     # delay-bounded inner block (frames)
+    fast_ids: set = set()   # nodes stepped at the inner rate
     if quanta_per_block is not None:
         qpb = min(quanta_per_block, total_quanta)
+        if ordered.has_cycle:
+            # explicit block sizes (RenderSession, online loop, segments)
+            # must still respect the cycle-delay bound: a feedback read
+            # inside one block would see unwritten ring samples.  Pick the
+            # largest DIVISOR of the requested block within the bound so
+            # callers stepping in multiples of their request stay aligned.
+            bound = _cycle_delay_bound(nodes, edges, ordered.cycle_breakers,
+                                       sample_rate)
+            if os.environ.get("WEBAUDIO_CYCLE_BLOCKS", "auto") == "1":
+                bound = 1
+            if bound < qpb:
+                qpb = next(d for d in range(bound, 0, -1)
+                           if quanta_per_block % d == 0)
     elif ordered.has_cycle:
         # Feedback feeds back through the cycle-breaking delays; the spec
         # minimum latency is one quantum.  A CONSTANT delay of d frames
@@ -228,6 +244,28 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         if os.environ.get("WEBAUDIO_CYCLE_BLOCKS", "auto") != "1":
             qpb = _cycle_safe_qpb(nodes, edges, ordered.cycle_breakers,
                                   sample_rate, total_quanta)
+            # TWO-RATE: the delay bound applies only to nodes ON a cycle
+            # (the reference's own writer/reader split exists precisely so
+            # the rest of the graph is cycle-free, delay.rs:376-684,
+            # graph.rs:418-487).  Step each broken SCC at the delay-bounded
+            # rate inside an inner lax.scan while the acyclic majority
+            # (sources, convolvers) runs m x larger outer blocks.  Inner
+            # stepping is IDENTICAL to the flat scan for the cycle nodes,
+            # so cycle semantics are bit-exact (test_two_rate).
+            pow2_only = any(
+                getattr(n, "block_constraint", lambda: None)() == "pow2"
+                for n in nodes.values())
+            if (qpb >= 2 and ordered.cycle_groups
+                    and os.environ.get("WEBAUDIO_TWO_RATE", "1") != "0"
+                    and not (pow2_only and (qpb & (qpb - 1)))
+                    and _two_rate_eligible(nodes, edges, ordered)):
+                m = _two_rate_steps(nodes, total_quanta, qpb, pow2_only)
+                if m >= 2:
+                    two_rate_m = m
+                    inner_frames = qpb * RENDER_QUANTUM_SIZE
+                    fast_ids = {nid for grp in ordered.cycle_groups
+                                for (nid, _) in grp}
+                    qpb = qpb * m
         else:
             qpb = 1
     else:
@@ -339,7 +377,9 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     for nid, node in nodes.items():
         rc = RenderContext(
             sample_rate=sample_rate,
-            block_frames=block_frames,
+            # two-rate: cycle-group members process inner_frames at a time
+            block_frames=(inner_frames if nid in fast_ids
+                          else block_frames),
             input_channel_counts=in_counts[nid],
             output_channel_counts=out_counts[nid],
             in_cycle=(nid in ordered.cycle_breakers),
@@ -385,6 +425,26 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
     # node id -> exception (processor failure isolation); seeded with
     # construction-time failures from the kernel-build loop above
     failed: dict = dict(early_failed)
+
+    # execution plan: vertices in topological order, with each broken-SCC
+    # group collapsed into one ("g", gi) step at its first vertex (the
+    # groups are contiguous in ordered.order by construction, ir.py)
+    if two_rate_m > 1:
+        _gidx = {}
+        for _gi, _grp in enumerate(ordered.cycle_groups):
+            for _v in _grp:
+                _gidx[_v] = _gi
+        exec_plan = []
+        _seen_groups: set = set()
+        for _v in ordered.order:
+            _gi = _gidx.get(_v)
+            if _gi is None:
+                exec_plan.append(("v", _v))
+            elif _gi not in _seen_groups:
+                _seen_groups.add(_gi)
+                exec_plan.append(("g", _gi))
+    else:
+        exec_plan = [("v", _v) for _v in ordered.order]
 
     def block_fn(states, frame0, xs_params, resources=None):
         """One scan step: run every node in topological order."""
@@ -445,7 +505,137 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
                 out[alias] = val
             return out
 
-        for nid, role in ordered.order:
+        def run_group(grp):
+            """Two-rate inner scan: step one broken-SCC's members at the
+            delay-bounded inner block while the enclosing block_fn runs
+            m x larger blocks.  Outside signals/params slice per sub-step;
+            in-group signals resolve inside the scan body; member states
+            thread through the scan carry — identical math to the flat
+            delay-bounded scan for these nodes, so cycle feedback is
+            bit-exact vs single-rate stepping."""
+            m = two_rate_m
+            Bi = inner_frames
+            mset = {nid for nid, _ in grp}
+            active = [(nid, role) for nid, role in grp
+                      if nid not in ordered.muted and nid not in failed]
+
+            def split_steps(val):
+                # (..., B_out) -> (m, ..., Bi) scan xs
+                return jnp.moveaxis(
+                    val.reshape(val.shape[:-1] + (m, Bi)), -2, 0)
+
+            xs_list: list = []
+            input_plan: dict = {}
+            prm_plan: dict = {}
+            built = []
+            for nid, role in active:
+                node = nodes[nid]
+                try:
+                    if role != "reader":
+                        for i in range(node.number_of_inputs):
+                            plan = []
+                            for e in in_edges[nid][i]:
+                                key = (e.src, e.src_output)
+                                if e.src in mset:
+                                    plan.append(("loc", key))
+                                elif key in signals:
+                                    xs_list.append(
+                                        split_steps(signals[key]))
+                                    plan.append(("xs", len(xs_list) - 1))
+                            input_plan[(nid, i)] = plan
+                    plan_p = {}
+                    for alias, val in gather_params(nid, node).items():
+                        if val is not None and getattr(val, "ndim", 0) >= 1 \
+                                and val.shape[-1] == block_frames:
+                            xs_list.append(split_steps(val))
+                            plan_p[alias] = ("xs", len(xs_list) - 1)
+                        else:
+                            plan_p[alias] = ("const", val)
+                    prm_plan[nid] = plan_p
+                    built.append((nid, role))
+                except Exception as exc:
+                    failed[nid] = exc
+                    cb = getattr(node, "_onprocessorerror", None)
+                    if cb is not None:
+                        cb(exc)
+
+            carry0 = {_k(nid): states.get(_k(nid))
+                      for nid in sorted({n for n, _ in built})}
+            f0s = frame0 + jnp.arange(m, dtype=jnp.int32) * jnp.int32(Bi)
+            out_keys = [(nid, oi) for nid, role in built if role != "writer"
+                        for oi in range(len(out_counts[nid]))]
+
+            def substep(carry, xs):
+                f0, xs_vals = xs
+                sc = BlockScope(f0, Bi, sample_rate)
+                local: dict = {}
+                new_carry = dict(carry)
+                for nid, role in built:
+                    node = nodes[nid]
+                    kern = kernels[nid]
+                    sc.node_resources = resources.get(_k(nid))
+                    try:
+                        ins = []
+                        if role != "reader":
+                            for i in range(node.number_of_inputs):
+                                sigs = []
+                                for kind, ref in input_plan[(nid, i)]:
+                                    if kind == "loc":
+                                        if ref in local:
+                                            sigs.append(local[ref])
+                                    else:
+                                        sigs.append(xs_vals[ref])
+                                ins.append(sum_inputs(
+                                    sigs, in_counts[nid][i],
+                                    interp_of[nid], Bi))
+                        prm = {alias: (xs_vals[ref] if kind == "xs" else ref)
+                               for alias, (kind, ref)
+                               in prm_plan[nid].items()}
+                        st = new_carry[_k(nid)]
+                        if role == "node":
+                            st, outs = kern.process(sc, st, ins, prm)
+                        elif role == "reader":
+                            st, outs = kern.process_reader(sc, st, prm)
+                        else:
+                            st = kern.process_writer(sc, st, ins, prm)
+                            outs = []
+                        new_carry[_k(nid)] = st
+                        for oi, o in enumerate(outs):
+                            local[(nid, oi)] = o
+                    except Exception as exc:
+                        failed[nid] = exc
+                        cb = getattr(node, "_onprocessorerror", None)
+                        if cb is not None:
+                            cb(exc)
+                for nid, oi in out_keys:
+                    if (nid, oi) not in local:
+                        local[(nid, oi)] = jnp.zeros(
+                            (out_counts[nid][oi], Bi), jnp.float32)
+                return new_carry, {f"{nid}:{oi}": local[(nid, oi)]
+                                   for nid, oi in out_keys}
+
+            final_carry, stacked = jax.lax.scan(
+                substep, carry0, (f0s, tuple(xs_list)))
+            for k_, v in final_carry.items():
+                new_states[k_] = v
+            for nid, oi in out_keys:
+                s = stacked[f"{nid}:{oi}"]            # (m, C, Bi)
+                signals[(nid, oi)] = jnp.moveaxis(s, 0, 1).reshape(
+                    s.shape[1], m * Bi)
+            # muted / failed / param-failed members emit block-level silence
+            for nid, role in grp:
+                if role == "writer":
+                    continue
+                for oi, c in enumerate(out_counts[nid]):
+                    if (nid, oi) not in signals:
+                        signals[(nid, oi)] = jnp.zeros(
+                            (c, block_frames), jnp.float32)
+
+        for tag, payload in exec_plan:
+            if tag == "g":
+                run_group(ordered.cycle_groups[payload])
+                continue
+            nid, role = payload
             node = nodes[nid]
             kern = kernels[nid]
             scope.node_resources = resources.get(_k(nid))
@@ -575,15 +765,13 @@ def pack_dense_params(cg: CompiledGraph, padded: int,
     return rows
 
 
-def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
-                    total_quanta) -> int:
-    """Largest safe quanta-per-block for a cyclic graph.
-
-    A cycle-breaking delay of (constant) d frames only ever reads samples
-    written >= d frames ago, so any block size <= d-1 keeps every in-cycle
-    read inside the carried ring state.  Any automated or audio-driven
-    delay (its read distance can shrink mid-render) pins the graph to the
-    reference's one-quantum stepping."""
+def _cycle_delay_bound(nodes, edges, cycle_breakers, sample_rate) -> int:
+    """Max safe quanta-per-block for cyclic stepping: a cycle-breaking
+    delay of (constant) d frames only ever reads samples written >= d
+    frames ago, so any block <= d-1 frames keeps every in-cycle read
+    inside the carried ring state.  Automated or audio-driven delays (read
+    distance can shrink mid-render) pin the graph to one-quantum
+    stepping."""
     from ..nodes.delay import DelayNode
 
     d_min = None
@@ -599,7 +787,16 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
         d_min = num if d_min is None else min(d_min, num)
     if d_min is None:
         return 1  # delay-free (muted) cycle
-    max_by_delay = int((d_min - 1) // RENDER_QUANTUM_SIZE)
+    return max(1, int((d_min - 1) // RENDER_QUANTUM_SIZE))
+
+
+def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
+                    total_quanta) -> int:
+    """Largest safe quanta-per-block for a cyclic graph (see
+    _cycle_delay_bound), shaped to the render length (divisor / pow2
+    preferences)."""
+    max_by_delay = _cycle_delay_bound(nodes, edges, cycle_breakers,
+                                      sample_rate)
     if max_by_delay < 2:
         return 1
     weight = sum(getattr(n, "compile_weight", 1) for n in nodes.values())
@@ -625,6 +822,54 @@ def _cycle_safe_qpb(nodes, edges, cycle_breakers, sample_rate,
         else:
             qpb = max(cap - cap % 8, qpb)
     return qpb
+
+
+def _two_rate_eligible(nodes, edges, ordered) -> bool:
+    """Two-rate stepping requires every group-internal data dependency to
+    be expressible inside the inner scan: audio-driven params whose source
+    is IN the group, and foreign-param subscriptions by group members,
+    fall back to single-rate (the flat delay-bounded scan)."""
+    fast = {nid for grp in ordered.cycle_groups for (nid, _) in grp}
+    if not fast:
+        return False
+    for e in edges:
+        if e.param is not None and e.dst in fast and e.src in fast:
+            return False
+    for nid in fast:
+        if nodes[nid].foreign_params():
+            return False
+    return True
+
+
+def _two_rate_steps(nodes, total_quanta, qpb_in, pow2_only=False) -> int:
+    """Inner sub-steps per outer block: minimize padded total + per-outer-
+    step overhead (~16 quanta, the acyclic chooser's cost model), keeping
+    partitioned-FFT kernels on >= 4096-sample pow2 content."""
+    weight = sum(getattr(n, "compile_weight", 1) for n in nodes.values())
+    budget_frames = (1 << 25) // max(weight, 1)
+    max_qpb = max(DEFAULT_QUANTA_PER_BLOCK,
+                  budget_frames // RENDER_QUANTUM_SIZE)
+    max_m = max(1, min(max_qpb // qpb_in, -(-total_quanta // qpb_in)))
+    wants_pow2 = any(getattr(n, "wants_pow2_partitions", False)
+                     for n in nodes.values())
+
+    def _content(q):
+        bf = q * RENDER_QUANTUM_SIZE
+        return bf & -bf
+
+    cands = [m for m in range(1, max_m + 1)
+             if not pow2_only or ((m * qpb_in) & (m * qpb_in - 1)) == 0]
+    if wants_pow2:
+        good = [m for m in cands if _content(m * qpb_in) >= 4096]
+        if good:
+            cands = good
+
+    def _cost(m):
+        q = m * qpb_in
+        nb = -(-total_quanta // q)
+        return (nb * q + 16 * nb, -_content(q) if wants_pow2 else 0)
+
+    return min(cands, key=_cost) if cands else 1
 
 
 def _pad_len(total_frames: int, block_frames: int) -> int:

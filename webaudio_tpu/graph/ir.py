@@ -28,6 +28,11 @@ class OrderedGraph:
     muted: set[int]                       # nodes in unbreakable cycles
     cycle_breakers: set[int]              # delay nodes whose internal edge was cut
     has_cycle: bool                       # any SCC required breaking/muting
+    # vertices of each BROKEN cyclic SCC (the uncut graph's cycles), each
+    # listed in cut-graph topo order and guaranteed CONTIGUOUS in `order` —
+    # the two-rate compiler steps exactly these at the delay-bounded rate
+    # while the acyclic remainder runs large blocks (compiler.py)
+    cycle_groups: list[list[tuple[int, str]]] = None
 
 
 def _vertices_and_edges(node_ids, edges, cycle_breaker_ids, cut_internal: set[int]):
@@ -150,23 +155,88 @@ def order_graph(node_ids: list[int], edges: list[Edge],
     verts, vedges = _vertices_and_edges(node_ids, edges, delay_node_ids, cut)
     vedges = [(s, d) for (s, d) in vedges
               if s[0] not in muted and d[0] not in muted]
-    adj = {v: [] for v in verts}
-    indeg = {v: 0 for v in verts}
-    for s, d in vedges:
-        adj[s].append(d)
-        indeg[d] += 1
-    # Kahn, stable by insertion order for determinism
+
+    # identify the BROKEN cyclic SCCs of the uncut graph: contracting them
+    # cannot create condensation cycles (any out-and-back-in path would run
+    # through a cut internal edge and hence be part of the same SCC), so
+    # each can be ordered as one contiguous cluster — the two-rate
+    # compiler's unit of delay-bounded stepping
+    verts0, vedges0 = _vertices_and_edges(node_ids, edges, delay_node_ids,
+                                          set())
+    vedges0 = [(s, d) for (s, d) in vedges0
+               if s[0] not in muted and d[0] not in muted]
+    self_loops0 = {s for s, d in vedges0 if s == d}
+    group_of: dict = {}
+    groups_raw: list = []
+    for scc in _tarjan_scc([v for v in verts0 if v[0] not in muted],
+                           vedges0):
+        if len(scc) > 1 or (len(scc) == 1 and scc[0] in self_loops0):
+            gi = len(groups_raw)
+            groups_raw.append(set(scc))
+            for v in scc:
+                group_of[v] = gi
+
+    # cluster-level Kahn (clusters = broken SCCs; singletons otherwise),
+    # stable by first-vertex insertion order for determinism
     from collections import deque
 
-    queue = deque(v for v in verts if indeg[v] == 0)
+    def cl(v):
+        return ("g", group_of[v]) if v in group_of else ("v", v)
+
+    cl_order = []
+    cl_seen = set()
+    for v in verts:
+        c = cl(v)
+        if c not in cl_seen:
+            cl_seen.add(c)
+            cl_order.append(c)
+    cadj = {c: [] for c in cl_order}
+    cindeg = {c: 0 for c in cl_order}
+    for s, d in vedges:
+        cs, cd = cl(s), cl(d)
+        if cs != cd:
+            cadj[cs].append(cd)
+            cindeg[cd] += 1
+
+    def _intra_order(gi):
+        """Topo order of one cluster's vertices over intra-cluster CUT
+        edges (reader -> ... -> writer; the internal edge is cut)."""
+        members = [v for v in verts if group_of.get(v) == gi]
+        madj = {v: [] for v in members}
+        mindeg = {v: 0 for v in members}
+        for s, d in vedges:
+            if group_of.get(s) == gi and group_of.get(d) == gi:
+                madj[s].append(d)
+                mindeg[d] += 1
+        q = deque(v for v in members if mindeg[v] == 0)
+        out = []
+        while q:
+            v = q.popleft()
+            out.append(v)
+            for w in madj[v]:
+                mindeg[w] -= 1
+                if mindeg[w] == 0:
+                    q.append(w)
+        assert len(out) == len(members), "intra-group ordering failed"
+        return out
+
+    queue = deque(c for c in cl_order if cindeg[c] == 0)
     order = []
+    cycle_groups = []
+    emitted = 0
     while queue:
-        v = queue.popleft()
-        order.append(v)
-        for w in adj[v]:
-            indeg[w] -= 1
-            if indeg[w] == 0:
+        c = queue.popleft()
+        if c[0] == "v":
+            order.append(c[1])
+        else:
+            grp = _intra_order(c[1])
+            cycle_groups.append(grp)
+            order.extend(grp)
+        emitted += 1
+        for w in cadj[c]:
+            cindeg[w] -= 1
+            if cindeg[w] == 0:
                 queue.append(w)
     assert len(order) == len(verts), "ordering failed; residual cycle"
     return OrderedGraph(order=order, muted=muted, cycle_breakers=cut,
-                        has_cycle=has_cycle)
+                        has_cycle=has_cycle, cycle_groups=cycle_groups)

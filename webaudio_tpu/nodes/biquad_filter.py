@@ -19,6 +19,7 @@ from enum import Enum
 import numpy as np
 import jax.numpy as jnp
 
+from ..constants import InvalidAccessError
 from ..graph.compiler import Kernel
 from ..ops import fft_conv, recurrence
 from ..param import AudioParamDescriptor, AutomationRate
@@ -271,17 +272,31 @@ class BiquadFilterNode(AudioNode):
 
     def get_frequency_response(self, frequency_hz, mag_response, phase_response):
         """Transfer-function evaluation on the control side
-        (reference: biquad_filter.rs:670-743)."""
+        (reference: biquad_filter.rs:670-743).
+
+        Matches the reference's evaluation exactly: the normalized
+        frequency rounds through f32 BEFORE the f64 z-transform (freq /
+        nyquist is f32 upstream), and the polynomials evaluate in Horner
+        form b0 + (b1 + b2*z)*z — at near-null response points (a notch's
+        center) the residual's PHASE depends on these rounding choices,
+        and the reference's literal vectors pin them."""
         fs = self.context.sample_rate
+        if not (len(frequency_hz) == len(mag_response)
+                == len(phase_response)):
+            raise InvalidAccessError(
+                "Parameter lengths must match")
         b0, b1, b2, a1, a2 = _np_coefs(
             self._type, fs,
             _computed_freq(self.frequency.value, self.detune.value),
             self.gain.value, self.q.value)
-        freqs = np.asarray(frequency_hz, dtype=np.float64)
-        valid = (freqs >= 0) & (freqs <= fs / 2)
-        z = np.exp(-1j * 2 * np.pi * freqs / fs)
-        num = b0 + b1 * z + b2 * z * z
-        den = 1.0 + a1 * z + a2 * z * z
+        freqs = np.asarray(frequency_hz, dtype=np.float32)
+        nyquist = np.float32(fs) / np.float32(2.0)
+        valid = (freqs >= 0) & (freqs <= nyquist)
+        f = (freqs / nyquist).astype(np.float32).astype(np.float64)
+        omega = -np.pi * f
+        z = np.cos(omega) + 1j * np.sin(omega)
+        num = b0 + (b1 + b2 * z) * z
+        den = 1.0 + (a1 + a2 * z) * z
         h = num / den
         mag_response[:] = np.where(valid, np.abs(h), np.nan).astype(np.float32)
         phase_response[:] = np.where(valid, np.angle(h), np.nan).astype(np.float32)

@@ -103,13 +103,20 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
     hi = ki // _SEG
     lo = ki - hi * _SEG
-    lanes = jnp.arange(_SEG + 1, dtype=jnp.int32)[None, :]
-    w = (jnp.where(lanes == lo[:, None], (1.0 - f)[:, None], 0.0)
-         + jnp.where(lanes == lo[:, None] + 1, f[:, None], 0.0))
-    P = jnp.dot(w, T.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)       # (M, nseg)
-    y = jnp.sum(jnp.where(jnp.arange(nseg)[None, :] == hi[:, None], P, 0.0),
-                axis=1)
+    # TRANSPOSED layout: samples ride the MINOR axis.  With samples on the
+    # major axis both intermediates pad their (SEG+1 = 65 / nseg = 64)
+    # minor dims to 128 lanes — ~1 KB of physical HBM per sample, measured
+    # as roughly half the mastering-chain case.  (nseg, M)/(65, M) tiles
+    # pad nothing along M, halving the traffic.  Bit-identical either way:
+    # each output sums exactly two nonzero products, so accumulation order
+    # is irrelevant.
+    lanesT = jnp.arange(_SEG + 1, dtype=jnp.int32)[:, None]
+    wT = (jnp.where(lanesT == lo[None, :], (1.0 - f)[None, :], 0.0)
+          + jnp.where(lanesT == lo[None, :] + 1, f[None, :], 0.0))
+    PT = jnp.dot(T, wT, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)      # (nseg, M)
+    y = jnp.sum(jnp.where(jnp.arange(nseg)[:, None] == hi[None, :], PT, 0.0),
+                axis=0)
     return y.reshape(shape)
 
 
