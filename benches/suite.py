@@ -534,10 +534,54 @@ CASES = {
 }
 
 
+def case_script_processor_probe():
+    """VERDICT r3 item 7: prove (or fence) jax.pure_callback on the real
+    backend.  A tiny ScriptProcessorNode graph whose host callback doubles
+    the signal; returns the realtime factor, or raises so the suite
+    records the error path."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 1.0
+    ctx = wa.OfflineAudioContext(1, int(fs * seconds), fs)
+    src = ctx.create_constant_source(offset=0.25)
+    src.start()
+    sp = ctx.create_script_processor(4096, 1, 1)
+
+    def onaudioprocess(ev):
+        ev.output_buffer[:] = ev.input_buffer * 2.0
+
+    sp.set_onaudioprocess(onaudioprocess)
+    src.connect(sp)
+    sp.connect(ctx.destination)
+    t0 = time.perf_counter()
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    wall = time.perf_counter() - t0
+    # exact two-buffer latency: the doubled signal appears after 2*4096
+    tail = out[3 * 4096:]
+    assert np.abs(tail - 0.5).max() < 1e-6, float(np.abs(tail).max())
+    return seconds / wall
+
+
 def main():
     names = sys.argv[1:] or list(CASES) + ["batched_graphs", "mixed_corpus"]
     for name in names:
         try:
+            if name == "script_processor_probe":
+                rtf = case_script_processor_probe()
+                print(json.dumps({
+                    "case": name, "metric": "script_processor_probe",
+                    "ok": True, "value": round(rtf, 1),
+                }), flush=True)
+                continue
+            if name == "batched_graphs_1024":
+                res = case_batched_graphs(batch=1024)
+                print(json.dumps({
+                    "case": name, "metric": "batched_realtime_factor",
+                    "batch": 1024,
+                    **{k: (None if v is None else round(v, 1))
+                       for k, v in res.items()},
+                }), flush=True)
+                continue
             if name == "mixed_corpus":
                 rtf, n_graphs, n_buckets = case_mixed_corpus()
                 print(json.dumps({

@@ -87,3 +87,49 @@ def test_buffer_source_position_readback():
 
 # waveshaper oversampling is oracle-tested (alias suppression, latency,
 # low-frequency equivalence) in tests/test_waveshaper_oversample.py
+
+
+def test_loop_point_mutation_applies_at_rerender_boundaries():
+    """Reference reads loop points per quantum via control message
+    (audio_buffer_source.rs:67-105); the compiled engine applies mutations
+    at re-trace boundaries (suspend_sync / session recompile / any
+    graph-version bump).  Pin both paths: the post-mutation region must
+    BIT-match a context that had the new loop points all along."""
+    import numpy as np
+    import webaudio_tpu as wa
+
+    fs = 48000.0
+
+    def build(ls_frames):
+        ctx = wa.OfflineAudioContext(1, 8192, fs)
+        b = ctx.create_buffer(1, 1000, fs)
+        b.copy_to_channel((np.arange(1000) % 97 / 97.0).astype(np.float32), 0)
+        src = ctx.create_buffer_source(loop=True)
+        src.buffer = b
+        src.loop_start = ls_frames / fs
+        src.loop_end = 900 / fs
+        src.connect(ctx.destination)
+        src.start()
+        return ctx, src
+
+    # suspend_sync path
+    ctx, src = build(100)
+    ctx.suspend_sync(4096 / fs, lambda c: setattr(src, "loop_start",
+                                                  300 / fs))
+    out = ctx.start_rendering_sync().get_channel_data(0)
+    old = build(100)[0].start_rendering_sync().get_channel_data(0)
+    new = build(300)[0].start_rendering_sync().get_channel_data(0)
+    np.testing.assert_array_equal(out[:4096], old[:4096])
+    np.testing.assert_array_equal(out[4096:], new[4096:])
+    assert np.abs(out[4096:] - old[4096:]).max() > 0.1  # mutation visible
+
+    # RenderSession path (recompile on graph-version bump between steps)
+    from webaudio_tpu.checkpoint import RenderSession
+
+    ctx2, src2 = build(100)
+    s = RenderSession(ctx2, quanta_per_block=16)
+    first = s.step(4096)
+    src2.loop_start = 300 / fs        # bumps the graph version
+    second = s.step(4096)
+    np.testing.assert_array_equal(first[0], old[:4096])
+    np.testing.assert_array_equal(second[0], new[4096:])

@@ -154,12 +154,14 @@ class _BufferSourceKernel(Kernel):
         from ..ops.bufread import edge_vals, pair_rows
 
         # NOTE: the loop-wrap edge constant is staged from loop_start at
-        # compile time.  The kernel is rebuilt (make_kernel) at every
-        # re-trace, so loop-point mutations apply at the next suspend /
-        # graph-mutation boundary; the reference re-reads them every
-        # quantum (audio_buffer_source.rs:629-637).  Within one compiled
-        # segment a loop_start change is not observable — a documented
-        # static-compile deviation.
+        # compile time.  The loop_start/loop_end setters bump the graph
+        # version, so mutations apply at the next re-trace boundary
+        # (suspend_sync, RenderSession step, online recompile) and the
+        # post-mutation region BIT-matches a fresh context with the new
+        # points (test_loop_point_mutation_applies_at_rerender_boundaries).
+        # The reference re-reads loop points every quantum
+        # (audio_buffer_source.rs:629-637); within one compiled segment a
+        # change is not observable — divergence bounded by one segment.
         wrap = int(math.ceil(self.loop_start * self.buf_rate))
         res = {"data_rows": pair_rows(self.data_host),
                "edge_vals": edge_vals(self.data_host, self.loop, wrap)}
