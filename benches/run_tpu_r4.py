@@ -116,15 +116,18 @@ def main():
             # A/B: round-3 formulations, same process, same service health
             _emit(stage="ab", variant="two_rate_off")
             os.environ["WEBAUDIO_TWO_RATE"] = "0"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":two_rate_off"
             sys.argv = ["suite.py"] + AB_TWO_RATE
             suite.main()
             os.environ.pop("WEBAUDIO_TWO_RATE", None)
 
             _emit(stage="ab", variant="lane_env_off")
             os.environ["WEBAUDIO_LANE_ENV"] = "0"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":lane_env_off"
             sys.argv = ["suite.py"] + AB_LANE_ENV
             suite.main()
             os.environ.pop("WEBAUDIO_LANE_ENV", None)
+            os.environ.pop("WEBAUDIO_BENCH_TAG", None)
     finally:
         sys.argv = saved_argv
 

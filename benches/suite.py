@@ -564,19 +564,21 @@ def case_script_processor_probe():
 
 def main():
     names = sys.argv[1:] or list(CASES) + ["batched_graphs", "mixed_corpus"]
-    for name in names:
+    tag = os.environ.get("WEBAUDIO_BENCH_TAG", "")
+    for raw in names:
+        name = raw
         try:
             if name == "script_processor_probe":
                 rtf = case_script_processor_probe()
                 print(json.dumps({
-                    "case": name, "metric": "script_processor_probe",
+                    "case": name + tag, "metric": "script_processor_probe",
                     "ok": True, "value": round(rtf, 1),
                 }), flush=True)
                 continue
             if name == "batched_graphs_1024":
                 res = case_batched_graphs(batch=1024)
                 print(json.dumps({
-                    "case": name, "metric": "batched_realtime_factor",
+                    "case": name + tag, "metric": "batched_realtime_factor",
                     "batch": 1024,
                     **{k: (None if v is None else round(v, 1))
                        for k, v in res.items()},
@@ -585,7 +587,7 @@ def main():
             if name == "mixed_corpus":
                 rtf, n_graphs, n_buckets = case_mixed_corpus()
                 print(json.dumps({
-                    "case": name, "metric": "mixed_corpus_realtime_factor",
+                    "case": name + tag, "metric": "mixed_corpus_realtime_factor",
                     "value": round(rtf, 1), "graphs": n_graphs,
                     "buckets": n_buckets,
                 }), flush=True)
@@ -593,7 +595,7 @@ def main():
             if name == "batched_graphs":
                 res = case_batched_graphs()
                 print(json.dumps({
-                    "case": name, "metric": "batched_realtime_factor",
+                    "case": name + tag, "metric": "batched_realtime_factor",
                     **{k: (None if v is None else round(v, 1))
                        for k, v in res.items()},
                 }), flush=True)
@@ -601,12 +603,12 @@ def main():
             ctx, seconds = CASES[name]()
             rtf, compile_s, roofline = _measure(ctx, seconds)
             print(json.dumps({
-                "case": name, "metric": "offline_render_realtime_factor",
+                "case": name + tag, "metric": "offline_render_realtime_factor",
                 "value": round(rtf, 1), "compile_seconds": round(compile_s, 1),
                 **roofline,
             }), flush=True)
         except Exception as exc:
-            print(json.dumps({"case": name, "error": str(exc)[:200]}),
+            print(json.dumps({"case": name + tag, "error": str(exc)[:200]}),
                   flush=True)
 
 
