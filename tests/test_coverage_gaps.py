@@ -133,3 +133,54 @@ def test_loop_point_mutation_applies_at_rerender_boundaries():
     second = s.step(4096)
     np.testing.assert_array_equal(first[0], old[:4096])
     np.testing.assert_array_equal(second[0], new[4096:])
+
+
+def test_sounddevice_backend_gated_and_functional():
+    """SURVEY §7 item 7 (optional dev-machine output): without the
+    sounddevice package the sink raises NotSupportedError with guidance;
+    with one present (faked here) audio flows through an OutputStream in
+    PortAudio's interleaved layout."""
+    import numpy as np
+    import pytest as _pytest
+
+    from webaudio_tpu.constants import NotSupportedError
+    from webaudio_tpu.io_backends import SoundDeviceBackend, build_backend
+
+    # no sounddevice on TPU hosts -> clear gate
+    import sys as _sys
+
+    assert "sounddevice" not in _sys.modules
+    with _pytest.raises(NotSupportedError, match="sounddevice"):
+        build_backend("sounddevice", 2, 48000.0)
+
+    # fake PortAudio: capture what would reach the device
+    written = []
+
+    class FakeStream:
+        latency = 0.012
+
+        def __init__(self, samplerate, channels, dtype, device):
+            self.channels = channels
+
+        def start(self):
+            pass
+
+        def write(self, data):
+            written.append(np.asarray(data))
+
+        def stop(self):
+            pass
+
+        def close(self):
+            pass
+
+    class FakeSD:
+        OutputStream = FakeStream
+
+    be = SoundDeviceBackend(2, 48000.0, _module=FakeSD)
+    chunk = np.arange(8, dtype=np.float32).reshape(2, 4)
+    be.write(chunk, 0.0)
+    be.close()
+    assert written and written[0].shape == (4, 2)        # interleaved
+    np.testing.assert_array_equal(written[0], chunk.T)
+    assert be.output_latency == 0.012

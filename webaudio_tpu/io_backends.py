@@ -85,6 +85,59 @@ class WavFileBackend(AudioBackend):
         write_wav(self._path, data, self._sample_rate)
 
 
+class SoundDeviceBackend(AudioBackend):
+    """Real audio output on dev machines through the `sounddevice`
+    package (PortAudio) — the optional cpal/cubeb analog from SURVEY §7
+    item 7.  TPU hosts have no sound card and no sounddevice install, so
+    construction raises NotSupportedError with guidance when the package
+    (or a device) is unavailable; the engine itself never depends on it.
+
+    sink_id: "sounddevice" (default output device) or
+    "sounddevice:<device>" (a PortAudio device index or name substring).
+    """
+
+    def __init__(self, channels: int, sample_rate: float,
+                 device=None, _module=None):
+        from .constants import NotSupportedError
+
+        if _module is None:
+            try:
+                import sounddevice as _module  # type: ignore
+            except Exception as exc:
+                raise NotSupportedError(
+                    "sounddevice (PortAudio) is not available on this "
+                    "host — use the 'none', callback, or 'file:<path>' "
+                    "sinks instead") from exc
+        self._sd = _module
+        self.sink_id = ("sounddevice" if device is None
+                        else f"sounddevice:{device}")
+        try:
+            self._stream = _module.OutputStream(
+                samplerate=sample_rate, channels=channels,
+                dtype="float32", device=device)
+            self._stream.start()
+        except Exception as exc:
+            raise NotSupportedError(
+                f"sounddevice output device unavailable: {exc}") from exc
+        self._latency = float(getattr(self._stream, "latency", 0.0) or 0.0)
+
+    def write(self, chunk, timestamp):
+        # (channels, frames) -> PortAudio's interleaved (frames, channels)
+        self._stream.write(np.ascontiguousarray(
+            np.asarray(chunk, np.float32).T))
+
+    def close(self):
+        try:
+            self._stream.stop()
+            self._stream.close()
+        except Exception:
+            pass
+
+    @property
+    def output_latency(self) -> float:
+        return self._latency
+
+
 def build_backend(sink_id, channels: int, sample_rate: float) -> AudioBackend:
     """reference: io/mod.rs:151-204 (build_output)."""
     if sink_id is None or sink_id in ("", "none"):
@@ -95,4 +148,9 @@ def build_backend(sink_id, channels: int, sample_rate: float) -> AudioBackend:
         return sink_id
     if isinstance(sink_id, str) and sink_id.startswith("file:"):
         return WavFileBackend(sink_id[5:], channels, sample_rate)
+    if isinstance(sink_id, str) and sink_id.startswith("sounddevice"):
+        device = sink_id.partition(":")[2] or None
+        if device is not None and device.isdigit():
+            device = int(device)
+        return SoundDeviceBackend(channels, sample_rate, device=device)
     raise ValueError(f"unknown sink id {sink_id!r} (NotFoundError)")
