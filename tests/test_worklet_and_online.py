@@ -437,3 +437,32 @@ def test_worklet_spec_compliant_empty_inputs():
     src.start()
     ctx.start_rendering_sync()
     assert seen and seen[0][0] == 1
+
+
+def test_script_processor_fenced_on_callback_free_backends(monkeypatch):
+    """Backends without host callbacks (axon_pjrt: no send/recv, probed in
+    benches/run_tpu_r4.py script_processor_probe) must fail at compile with
+    a clear pointer to AudioWorkletNode, not deep inside the scan."""
+    import webaudio_tpu.nodes.script_processor as sp_mod
+    from webaudio_tpu.constants import NotSupportedError
+
+    class _FakeDev:
+        platform = "axon"
+
+    monkeypatch.setattr(sp_mod.jax, "devices", lambda *a, **k: [_FakeDev()])
+
+    fs = 48000.0
+    ctx = OfflineAudioContext(1, 1024, fs)
+    sp = ctx.create_script_processor(256, 1, 1)
+    sp.connect(ctx.destination)
+    with pytest.raises(NotSupportedError, match="AudioWorkletNode"):
+        ctx.start_rendering_sync()
+
+    # the escape hatch compiles (callback still dies at runtime on a real
+    # axon backend; here the fake platform only gates the fence)
+    monkeypatch.setenv("WEBAUDIO_SCRIPT_PROCESSOR", "force")
+    ctx2 = OfflineAudioContext(1, 1024, fs)
+    sp2 = ctx2.create_script_processor(256, 1, 1)
+    sp2.connect(ctx2.destination)
+    out = ctx2.start_rendering_sync().get_channel_data(0)
+    assert out.shape == (1024,)

@@ -28,7 +28,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import RENDER_QUANTUM_SIZE, DEFAULT_QUANTA_PER_BLOCK
+from ..constants import (
+    RENDER_QUANTUM_SIZE, DEFAULT_QUANTA_PER_BLOCK, NotSupportedError,
+)
 from ..ops.mixing import (
     ChannelInterpretation, computed_number_of_channels, sum_inputs,
 )
@@ -392,6 +394,11 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
         )
         try:
             kernels[nid] = node.make_kernel(rc)
+        except NotSupportedError:
+            # platform-capability fences (e.g. ScriptProcessor on a
+            # callback-free backend) are environment errors, not processor
+            # bugs — muting the node would hide them; surface loudly
+            raise
         except Exception as exc:
             # a processor whose CONSTRUCTION throws (e.g. a lazy worklet
             # ctor) is isolated exactly like a process()-time failure: its

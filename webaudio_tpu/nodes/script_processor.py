@@ -18,10 +18,35 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import IndexSizeError
+from ..constants import IndexSizeError, NotSupportedError
 from ..graph.compiler import Kernel
 from ..ops.mixing import ChannelCountMode, ChannelInterpretation
 from .audio_node import AudioNode, ChannelConfig
+
+#: Backends whose PJRT client cannot run host callbacks.  The tunneled
+#: axon backend is the known case — probed live in benches/run_tpu_r4.py
+#: (script_processor_probe), which fails with "UNIMPLEMENTED: axon_pjrt
+#: does not support host send/recv callbacks (jax io_callback /
+#: pure_callback / debug.callback)".  Rendering would only fail later,
+#: deep inside the compiled scan, so fail fast at compile instead.
+#: WEBAUDIO_SCRIPT_PROCESSOR=force overrides (e.g. a future axon that
+#: grows callback support).
+_NO_HOST_CALLBACK_PLATFORMS = ("axon",)
+
+
+def _check_backend_supports_callbacks():
+    import os
+
+    if os.environ.get("WEBAUDIO_SCRIPT_PROCESSOR") == "force":
+        return
+    platform = jax.devices()[0].platform
+    if platform in _NO_HOST_CALLBACK_PLATFORMS:
+        raise NotSupportedError(
+            f"ScriptProcessorNode needs jax.pure_callback, which the "
+            f"'{platform}' backend does not support (axon_pjrt has no host "
+            f"send/recv callbacks). Use AudioWorkletNode instead — worklet "
+            f"processors compile into the render graph and run on-device. "
+            f"Set WEBAUDIO_SCRIPT_PROCESSOR=force to attempt anyway.")
 
 
 class AudioProcessingEvent:
@@ -156,4 +181,5 @@ class ScriptProcessorNode(AudioNode):
         return [max(1, self._n_out)]
 
     def make_kernel(self, render_ctx):
+        _check_backend_supports_callbacks()
         return _ScriptProcessorKernel(self, render_ctx)
