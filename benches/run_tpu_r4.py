@@ -33,6 +33,10 @@ MAIN_CASES = [
 ]
 AB_TWO_RATE = ["convolution_reverb", "delay_network"]
 AB_LANE_ENV = ["granular_grains"]
+AB_CURVE = ["mastering_chain"]   # vs WEBAUDIO_CURVE=major (r3) / gather
+# lane packing (K=5 rows vs 400) rewrote the read geometry, so re-judge
+# the Pallas windowed kernel (r3 judged it at voice-row geometry)
+AB_READ = ["granular_grains"]    # vs WEBAUDIO_GRAIN_READ=window
 
 
 def _emit(**kw):
@@ -73,35 +77,44 @@ def main():
         _emit(stage="pallas_smoke", ok=False,
               error=f"{type(exc).__name__}: {exc}"[:300], fallback="gather")
 
-    # curve-kernel smoke: gate the Pallas curve path the same way
-    try:
-        from webaudio_tpu.ops.curve_kernel import curve_lookup_tpu
+    # curve-kernel smoke: gate the Pallas curve paths the same way.
+    # pallas2 (the grain_read-shaped kernel, samples on lanes) is tried
+    # first — its block geometry matches the one kernel family the remote
+    # Mosaic demonstrably accepts; v1 second; transposed XLA otherwise.
+    n, seg = 2048, 64
+    grid = np.linspace(-1, 1, n)
+    curve = np.tanh(2.0 * grid).astype(np.float32)
+    nseg = -(-n // seg)
+    npad = nseg * seg
+    cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
+                                                  (npad + 1 - n,))])
+    T = np.zeros((nseg, seg + 1), np.float32)
+    T[:, :seg] = cpad[:npad].reshape(nseg, seg)
+    T[:, seg] = cpad[seg::seg][:nseg]
+    xs = rng.uniform(-1.2, 1.2, size=1 << 15).astype(np.float32)
+    v = np.clip((n - 1) / 2.0 * (xs + 1.0), 0, n - 1)
+    ki = np.minimum(np.floor(v).astype(np.int64), n - 2)
+    f = (v - ki).astype(np.float32)
+    ref = (1 - f) * curve[ki] + f * curve[ki + 1]
 
-        n, seg = 2048, 64
-        grid = np.linspace(-1, 1, n)
-        curve = np.tanh(2.0 * grid).astype(np.float32)
-        nseg = -(-n // seg)
-        npad = nseg * seg
-        cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
-                                                      (npad + 1 - n,))])
-        T = np.zeros((nseg, seg + 1), np.float32)
-        T[:, :seg] = cpad[:npad].reshape(nseg, seg)
-        T[:, seg] = cpad[seg::seg][:nseg]
-        xs = rng.uniform(-1.2, 1.2, size=1 << 15).astype(np.float32)
-        got = np.asarray(curve_lookup_tpu(
-            jnp.asarray(xs), jnp.asarray(T.T), n, seg))
-        v = np.clip((n - 1) / 2.0 * (xs + 1.0), 0, n - 1)
-        ki = np.minimum(np.floor(v).astype(np.int64), n - 2)
-        f = (v - ki).astype(np.float32)
-        ref = (1 - f) * curve[ki] + f * curve[ki + 1]
-        dev = float(np.abs(got - ref).max())
-        assert dev < 2e-6, dev
-        os.environ["WEBAUDIO_CURVE"] = "pallas"   # proven: enable
-        _emit(stage="curve_smoke", ok=True, maxdev=dev)
-    except Exception as exc:
+    from webaudio_tpu.ops import curve_kernel as ck
+
+    for mode, fn, tab in (
+            ("pallas2", ck.curve_lookup_tpu_v2, T),
+            ("pallas", ck.curve_lookup_tpu, T.T)):
+        try:
+            got = np.asarray(fn(jnp.asarray(xs), jnp.asarray(tab), n, seg))
+            dev = float(np.abs(got - ref).max())
+            assert dev < 2e-6, dev
+            os.environ["WEBAUDIO_CURVE"] = mode   # proven: enable
+            _emit(stage="curve_smoke", ok=True, mode=mode, maxdev=dev)
+            break
+        except Exception as exc:
+            _emit(stage="curve_smoke", ok=False, mode=mode,
+                  error=f"{type(exc).__name__}: {exc}"[:300])
+    else:
         os.environ.pop("WEBAUDIO_CURVE", None)    # default (transposed) xla
-        _emit(stage="curve_smoke", ok=False,
-              error=f"{type(exc).__name__}: {exc}"[:300], fallback="xla")
+        _emit(stage="curve_smoke", fallback="xla")
 
     import suite
 
@@ -127,6 +140,34 @@ def main():
             sys.argv = ["suite.py"] + AB_LANE_ENV
             suite.main()
             os.environ.pop("WEBAUDIO_LANE_ENV", None)
+
+            # curve-formulation A/B for the mastering residual: the main
+            # phase already ran the session's best mode (pallas2/pallas
+            # when the smoke passed, else transposed XLA); measure the
+            # round-3 major-axis layout and, when a Pallas mode won the
+            # smoke, the transposed XLA layout too.
+            chosen = os.environ.get("WEBAUDIO_CURVE", "xla")
+            variants = ["major"]
+            if chosen != "xla":
+                variants.append("xla")
+            for vmode in variants:
+                _emit(stage="ab", variant=f"curve_{vmode}")
+                os.environ["WEBAUDIO_CURVE"] = vmode
+                os.environ["WEBAUDIO_BENCH_TAG"] = f":curve_{vmode}"
+                sys.argv = ["suite.py"] + AB_CURVE
+                suite.main()
+            if chosen == "xla":
+                os.environ.pop("WEBAUDIO_CURVE", None)
+            else:
+                os.environ["WEBAUDIO_CURVE"] = chosen
+            os.environ.pop("WEBAUDIO_BENCH_TAG", None)
+
+            _emit(stage="ab", variant="grain_read_window")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "window"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":read_window"
+            sys.argv = ["suite.py"] + AB_READ
+            suite.main()
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
     finally:
         sys.argv = saved_argv

@@ -1,6 +1,8 @@
 """ops/grain_read.py: the fused Pallas windowed-read kernel (interpret
 mode on CPU) against the numpy oracle."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -146,3 +148,50 @@ def test_curve_kernel_interpret_matches_apply_curve():
         got = np.asarray(curve_lookup_tpu(
             jnp.asarray(x), jnp.asarray(T.T), n, _SEG, interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(n))
+
+
+def test_curve_kernel_v2_interpret_matches_apply_curve():
+    """The grain_read-shaped curve kernel (ops/curve_kernel.py::_kernel_v2,
+    samples on lanes) must match apply_curve exactly like v1."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.nodes.waveshaper import _SEG, apply_curve
+    from webaudio_tpu.ops.curve_kernel import curve_lookup_tpu_v2
+
+    rng = np.random.default_rng(29)
+    x = rng.uniform(-1.3, 1.3, size=5000).astype(np.float32)
+    for n in (3, 257, 2049):
+        grid = np.linspace(-1, 1, n)
+        curve = np.tanh(2.5 * grid).astype(np.float32)
+        ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+        nseg = -(-n // _SEG)
+        npad = nseg * _SEG
+        cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
+                                                      (npad + 1 - n,))])
+        T = np.zeros((nseg, _SEG + 1), np.float32)
+        T[:, :_SEG] = cpad[:npad].reshape(nseg, _SEG)
+        T[:, _SEG] = cpad[_SEG::_SEG][:nseg]
+        got = np.asarray(curve_lookup_tpu_v2(
+            jnp.asarray(x), jnp.asarray(T), n, _SEG, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(n))
+
+
+def test_curve_modes_match_default():
+    """WEBAUDIO_CURVE=major/gather must render identically to the default
+    transposed formulation (in-situ A/B prerequisite)."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.nodes.waveshaper import apply_curve
+
+    rng = np.random.default_rng(31)
+    x = rng.uniform(-1.4, 1.4, size=4096).astype(np.float32)
+    curve = np.tanh(np.linspace(-2, 2, 2048)).astype(np.float32)
+    ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+    for mode in ("major", "gather"):
+        os.environ["WEBAUDIO_CURVE"] = mode
+        try:
+            got = np.asarray(apply_curve(jnp.asarray(curve),
+                                         jnp.asarray(x)))
+        finally:
+            os.environ.pop("WEBAUDIO_CURVE", None)
+        np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=mode)

@@ -82,20 +82,29 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     shape = x.shape
     import os as _os
 
+    mode = _os.environ.get("WEBAUDIO_CURVE", "xla")
     if x.size >= (1 << 15) and \
             jax.devices()[0].platform in ("tpu", "axon") and \
-            _os.environ.get("WEBAUDIO_CURVE", "xla") == "pallas":
+            mode in ("pallas", "pallas2"):
         # large blocks on TPU: the fused Pallas lookup (same math, the
         # one-hot and segment matrices never leave VMEM; ops/curve_kernel).
-        # OPT-IN (WEBAUDIO_CURVE=pallas): the axon remote Mosaic compile
-        # helper crashes on this kernel family (bisects in
-        # benches/read_modes.py and benches/final_g.py);
-        # benches/run_tpu_r3.py enables it per session when its smoke
-        # compile succeeds
-        from ..ops.curve_kernel import curve_lookup_tpu
+        # OPT-IN: the axon remote Mosaic compile helper crashes on the v1
+        # kernel in every variant tried (bisects in benches/read_modes.py
+        # and benches/final_g.py); "pallas2" is the grain_read-shaped
+        # retry (samples on lanes — the layout that kernel family proves
+        # compiles).  benches/run_tpu_r4.py smoke-gates both per session.
+        if mode == "pallas2":
+            from ..ops.curve_kernel import curve_lookup_tpu_v2
 
-        y = curve_lookup_tpu(x.reshape(-1), T.T, n, _SEG)
+            y = curve_lookup_tpu_v2(x.reshape(-1), T, n, _SEG)
+        else:
+            from ..ops.curve_kernel import curve_lookup_tpu
+
+            y = curve_lookup_tpu(x.reshape(-1), T.T, n, _SEG)
         return y.reshape(shape)
+    if mode == "gather":
+        # A/B escape: plain gather+lerp (identical math)
+        return _apply_curve_gather(curve, x)
 
     v = (n - 1) / 2.0 * (x.reshape(-1) + 1.0)
     v = jnp.clip(v, 0.0, float(n - 1))
@@ -103,13 +112,25 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
     hi = ki // _SEG
     lo = ki - hi * _SEG
-    # TRANSPOSED layout: samples ride the MINOR axis.  With samples on the
-    # major axis both intermediates pad their (SEG+1 = 65 / nseg = 64)
-    # minor dims to 128 lanes — ~1 KB of physical HBM per sample, measured
-    # as roughly half the mastering-chain case.  (nseg, M)/(65, M) tiles
-    # pad nothing along M, halving the traffic.  Bit-identical either way:
-    # each output sums exactly two nonzero products, so accumulation order
-    # is irrelevant.
+    if mode == "major":
+        # round-3 layout kept for in-situ A/B: samples on the MAJOR axis;
+        # the (M, 65)/(M, nseg) intermediates pad their minor dims to 128
+        # lanes (~1 KB HBM per sample)
+        lanes = jnp.arange(_SEG + 1, dtype=jnp.int32)[None, :]
+        w = (jnp.where(lanes == lo[:, None], (1.0 - f)[:, None], 0.0)
+             + jnp.where(lanes == lo[:, None] + 1, f[:, None], 0.0))
+        P = jnp.dot(w, T.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # (M, nseg)
+        y = jnp.sum(jnp.where(jnp.arange(nseg)[None, :] == hi[:, None],
+                              P, 0.0), axis=1)
+        return y.reshape(shape)
+    # TRANSPOSED layout (default): samples ride the MINOR axis.  With
+    # samples on the major axis both intermediates pad their (SEG+1 = 65 /
+    # nseg = 64) minor dims to 128 lanes — ~1 KB of physical HBM per
+    # sample, measured as roughly half the mastering-chain case.
+    # (nseg, M)/(65, M) tiles pad nothing along M, halving the traffic.
+    # Bit-identical either way: each output sums exactly two nonzero
+    # products, so accumulation order is irrelevant.
     lanesT = jnp.arange(_SEG + 1, dtype=jnp.int32)[:, None]
     wT = (jnp.where(lanesT == lo[None, :], (1.0 - f)[None, :], 0.0)
           + jnp.where(lanesT == lo[None, :] + 1, f[None, :], 0.0))
