@@ -107,6 +107,27 @@ def main():
     finally:
         os.environ.pop("WEBAUDIO_LANE_ENV", None)
 
+    # round-4 residual splits (WRONG-OUTPUT study modes, measurement
+    # only): cost of the predecessor-grain second fetch, and of the
+    # whole fetch stage
+    for mode in ("single_variant", "no_read"):
+        os.environ["WEBAUDIO_GRAIN_ABLATE"] = mode
+        try:
+            ctx, seconds = build()
+            measure(f"ablate_{mode}", ctx, seconds)
+        finally:
+            os.environ.pop("WEBAUDIO_GRAIN_ABLATE", None)
+
+    # read-mode A/B at lane geometry (lane packing rewrote the window
+    # shapes; round 3 judged these at voice-row geometry)
+    for mode in ("window", "gather"):
+        os.environ["WEBAUDIO_GRAIN_READ"] = mode
+        try:
+            ctx, seconds = build()
+            measure(f"read_{mode}", ctx, seconds)
+        finally:
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
 
 if __name__ == "__main__":
     main()

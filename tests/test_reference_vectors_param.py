@@ -443,3 +443,106 @@ def test_ref_full_render_chain_clamp_and_nan():
     expected = np.clip(128.0 - np.arange(Q, dtype=np.float32) *
                        np.float32(128.0 / Q), 2.0, 42.0)
     np.testing.assert_allclose(out, expected, atol=1e-3)
+
+
+# --- round-4 additions: the remaining param.rs unit tests -------------------
+
+
+def test_ref_default_and_accessors():
+    """param.rs test_default_and_accessors (param.rs:1700-1717): rate,
+    default/min/max, and value accessors reflect the descriptor."""
+    from webaudio_tpu.param import (
+        AudioParam, AudioParamDescriptor, AutomationRate,
+    )
+
+    p = AudioParam(AudioParamDescriptor(
+        name="", automation_rate=AutomationRate.A,
+        default_value=0.0, min_value=-10.0, max_value=10.0))
+    assert p.automation_rate == AutomationRate.A
+    assert p.default_value == 0.0
+    assert p.min_value == -10.0
+    assert p.max_value == 10.0
+    assert p.value == 0.0
+
+
+def test_ref_automation_rate_synchronicity():
+    """param.rs test_automation_rate_synchronicity_on_control_thread
+    (param.rs:1720-1734): set_automation_rate reflects immediately on the
+    control side."""
+    from webaudio_tpu.param import (
+        AudioParam, AudioParamDescriptor, AutomationRate,
+    )
+
+    p = AudioParam(AudioParamDescriptor(
+        name="", automation_rate=AutomationRate.A,
+        default_value=0.0, min_value=0.0, max_value=1.0))
+    p.automation_rate = AutomationRate.K
+    assert p.automation_rate == AutomationRate.K
+
+
+def test_ref_update_automation_rate_to_k():
+    """param.rs test_update_automation_rate_to_k (param.rs:3278-3296): an
+    a-rate param switched to k-rate holds the default through a block whose
+    set_value_at_time lands just after the block start (k-rate events apply
+    to THEIR block).  Times scaled to whole quanta (fs=1, block=Q)."""
+    from webaudio_tpu.param import (
+        AudioParam, AudioParamDescriptor, AutomationRate,
+    )
+
+    p = AudioParam(AudioParamDescriptor(
+        name="", automation_rate=AutomationRate.A,
+        default_value=0.0, min_value=-10.0, max_value=10.0))
+    p.automation_rate = AutomationRate.K
+    p.set_value_at_time(2.0, 0.5)   # strictly inside block 0
+    c = compile_timeline(p._timeline.snapshot(), 1.0, 2 * Q,
+                         is_a_rate=False, force_dense=True)
+    vs = np.asarray(c.dense)
+    # block 0 holds the default; block 1 (event consumed at its boundary)
+    # carries the set value
+    np.testing.assert_array_equal(vs[:Q], np.zeros(Q, np.float32))
+    np.testing.assert_array_equal(vs[Q:], np.full(Q, 2.0, np.float32))
+
+
+def test_ref_update_automation_rate_to_a():
+    """param.rs test_update_automation_rate_to_a (param.rs:3298-3316): a
+    k-rate param switched to a-rate applies a just-after-zero
+    set_value_at_time from sample 0 (event frames round to the nearest
+    sample)."""
+    from webaudio_tpu.param import (
+        AudioParam, AudioParamDescriptor, AutomationRate,
+    )
+
+    p = AudioParam(AudioParamDescriptor(
+        name="", automation_rate=AutomationRate.K,
+        default_value=0.0, min_value=-10.0, max_value=10.0))
+    p.automation_rate = AutomationRate.A
+    p.set_value_at_time(2.0, 0.000001)
+    c = compile_timeline(p._timeline.snapshot(), 1.0, 10,
+                         is_a_rate=True, force_dense=True)
+    np.testing.assert_array_equal(np.asarray(c.dense),
+                                  np.full(10, 2.0, np.float32))
+
+
+def test_ref_validation_asserts():
+    """param.rs assert_* tests (param.rs:~1660-1698): exponential ramp to 0
+    raises RangeError, setValueCurve needs >= 2 points, setTarget's
+    exponential_ramp target and curve duration must be strictly positive."""
+    from webaudio_tpu.constants import RangeError, InvalidStateError
+    from webaudio_tpu.param import (
+        AudioParam, AudioParamDescriptor, AutomationRate,
+    )
+
+    def fresh():
+        return AudioParam(AudioParamDescriptor(
+            name="", automation_rate=AutomationRate.A,
+            default_value=1.0, min_value=-10.0, max_value=10.0))
+
+    with pytest.raises(RangeError):
+        fresh().exponential_ramp_to_value_at_time(0.0, 1.0)
+    with pytest.raises((RangeError, InvalidStateError, NotSupportedError)):
+        fresh().set_value_curve_at_time([1.0], 0.0, 1.0)
+    with pytest.raises(RangeError):
+        fresh().set_value_curve_at_time([1.0, 2.0], 0.0, 0.0)
+    # negative time is a TypeError (lib.rs:240-244 assert_valid_time_value)
+    with pytest.raises(TypeError):
+        fresh().set_value_curve_at_time([1.0, 2.0], -1.0, 1.0)

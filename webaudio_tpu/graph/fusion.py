@@ -1115,8 +1115,21 @@ class _FusedVoicesKernel:
                 return s - r["edge_vals"][:, None, None] * \
                     jnp.where(cond, frv, 0.0)[None]
 
-            smp = jnp.where(use_hi.reshape(K, B)[None],
-                            smp_of(hi), smp_of(lo))
+            # WEBAUDIO_GRAIN_ABLATE: measurement-only study modes (WRONG
+            # output; benches/granular_ablate.py) isolating the cost of
+            # the second (predecessor-grain) fetch and of the fetch stage
+            # itself — pre-switch samples in switching quanta are the only
+            # consumers of the lo variant.
+            _ablate = os.environ.get("WEBAUDIO_GRAIN_ABLATE", "")
+            if _ablate == "single_variant":
+                smp = smp_of(hi)
+            elif _ablate == "no_read":
+                smp = jnp.broadcast_to(
+                    frac.reshape(K, B)[None],
+                    (r["edge_vals"].shape[0], K, B))
+            else:
+                smp = jnp.where(use_hi.reshape(K, B)[None],
+                                smp_of(hi), smp_of(lo))
         else:
             prev_i = jnp.clip(idx, 0, L - 1).reshape(K, B)
             fr = frac.reshape(K, B)
