@@ -546,3 +546,38 @@ def test_ref_validation_asserts():
     # negative time is a TypeError (lib.rs:240-244 assert_valid_time_value)
     with pytest.raises(TypeError):
         fresh().set_value_curve_at_time([1.0, 2.0], -1.0, 1.0)
+
+
+def test_ref_varying_param_size():
+    """param.rs test_varying_param_size (param.rs:3318-3397): the
+    reference shrinks constant blocks to length-1 buffers; the compiled
+    engine's analog is scalar compilation.  Both the VALUES and the
+    is-constant signal must match, including an event registered
+    mid-render (our suspend/re-trace path recompiles from a later
+    start_frame against the same mutated timeline)."""
+    def run(register_late):
+        tl = Timeline(0.0)
+        tl.handle_event(ev(SET_VALUE_AT_TIME, 0.0, 0.0))
+        tl.handle_event(ev(LINEAR_RAMP, 9.0, 9.0))
+        if not register_late:
+            tl.handle_event(ev(SET_VALUE_AT_TIME, 1.0, 25.0))
+
+        # block 0: the ramp plays out sample-exact
+        np.testing.assert_array_equal(
+            dense(tl, 10), np.arange(10, dtype=np.float32))
+        # block 1: constant 9 — and compiles to a scalar (the analog of
+        # the reference's length-1 buffer)
+        c1 = compile_timeline(tl, 1.0, 10, True, start_frame=10)
+        assert c1.dense is None and c1.scalar == 9.0
+        # event inserted during rendering anchors to absolute time
+        if register_late:
+            tl.handle_event(ev(SET_VALUE_AT_TIME, 1.0, 25.0))
+        # block 2: step lands mid-block -> dense again
+        np.testing.assert_array_equal(
+            dense(tl, 10, start=20), [9.0] * 5 + [1.0] * 5)
+        # block 3: constant 1 -> scalar again
+        c3 = compile_timeline(tl, 1.0, 10, True, start_frame=30)
+        assert c3.dense is None and c3.scalar == 1.0
+
+    run(register_late=True)   # event registered online during rendering
+    run(register_late=False)  # event registered before rendering
