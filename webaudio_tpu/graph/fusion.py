@@ -275,7 +275,7 @@ class _GrainLanePlan:
     __slots__ = ("starts", "stops", "rates", "offsets", "durations",
                  "start_times", "offset_pos", "delta_elapsed", "dur_end",
                  "ends", "use_lanes", "K", "lane_start", "lane_end",
-                 "lane_voice", "lanes")
+                 "lane_voice", "lanes", "aligned")
 
 
 def _plan_grain_lanes(sources, fs: float) -> _GrainLanePlan:
@@ -368,6 +368,18 @@ def _plan_grain_lanes(sources, fs: float) -> _GrainLanePlan:
         dur_end[i] = min(int(p.starts[i]) + cut, INF)
     p.dur_end = dur_end.astype(np.int32)
 
+    # Quantum-ALIGNED packing (default): a grain may only follow another
+    # in the same lane when every possibly-audible frame of the old grain
+    # (< ends) lies in an EARLIER quantum than the new grain's start.
+    # Then any quantum sees at most one audible grain per lane, so the
+    # kernel renders from a single per-quantum grain id — no predecessor
+    # fetch/select at all (the second windowed fetch was ~25% of the
+    # granular bench, benches/granular_ablate.py single_variant).  Costs
+    # at most one extra quantum of lane occupancy per grain.  The legacy
+    # packing (WEBAUDIO_GRAIN_ALIGNED=0) only requires ends <= start with
+    # starts >= one quantum apart, and the kernel selects between the
+    # quantum-end grain and its predecessor per sample.
+    p.aligned = os.environ.get("WEBAUDIO_GRAIN_ALIGNED", "1") != "0"
     order = np.argsort(p.starts, kind="stable")
     lane_end: list = []
     lane_last_start: list = []
@@ -375,10 +387,10 @@ def _plan_grain_lanes(sources, fs: float) -> _GrainLanePlan:
     for i in order:
         s, e = int(p.starts[i]), int(ends[i])
         for k in range(len(lane_end)):
-            # the second condition keeps starts >= one quantum apart
-            # within a lane, so a quantum sees at most one grain switch
-            # (the kernel's per-quantum gid + one correction relies on it)
-            if lane_end[k] <= s and s - lane_last_start[k] >= 128:
+            fits = (lane_end[k] <= (s // 128) * 128 if p.aligned
+                    else lane_end[k] <= s
+                    and s - lane_last_start[k] >= 128)
+            if fits:
                 lanes[k].append(int(i))
                 lane_end[k] = e
                 lane_last_start[k] = s
@@ -669,6 +681,7 @@ class _FusedVoicesKernel:
             self.use_lanes = lp.use_lanes
             if self.use_lanes:
                 self.K = lp.K
+                self.lane_aligned = lp.aligned
                 self.lane_start = lp.lane_start
                 self.lane_end = lp.lane_end
                 self.lane_voice = lp.lane_voice
@@ -866,11 +879,15 @@ class _FusedVoicesKernel:
         ratio = self.buf_rate / self.fs
         rmax = float(np.max(np.abs(self.rates))) * ratio
         C = self.data_host.shape[0]
-        if mode in ("auto", "grouped"):
+        if mode in ("auto", "grouped", "grouped_t"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
-                self.read_mode = "grouped"
+                # 'auto' takes the transposed select (sample axis minor —
+                # full 128-lane tiles; the straight (R*S, g, w) layout ran
+                # its fused select at ~w/128 lane utilization)
+                self.read_mode = ("grouped" if mode == "grouped"
+                                  else "grouped_t")
             return
         if mode == "window":
             self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)
@@ -933,7 +950,7 @@ class _FusedVoicesKernel:
                     dw = np.zeros((C, L + self.win_W + 2), np.float32)
                     dw[:, :L] = self.data_host
                     dw[:, L] = edge_vals(self.data_host)
-                    if self.read_mode == "grouped":
+                    if self.read_mode.startswith("grouped"):
                         from ..ops.grain_read import stage_rows
 
                         res["data_rows_g"] = stage_rows(dw, self.win_W)
@@ -998,6 +1015,11 @@ class _FusedVoicesKernel:
         per variant per quantum); returns (C, K, B)."""
         import jax
 
+        if self.read_mode == "grouped_t":
+            from ..ops.grain_read import grouped_row_lerp_t
+
+            return grouped_row_lerp_t(data_win, pi, fr, self.win_Qs,
+                                      self.win_W)
         if self.read_mode == "grouped":
             from ..ops.grain_read import grouped_row_lerp
 
@@ -1069,16 +1091,28 @@ class _FusedVoicesKernel:
             return fields
 
         hi = variant(gid_hi)
-        lo = variant(gid_hi - 1)
+        if self.lane_aligned:
+            # aligned packing: the quantum-end grain is the quantum's ONLY
+            # possibly-audible grain (any predecessor's frames < ends all
+            # lie in earlier quanta), so its fields broadcast per quantum
+            # — pre-start samples are masked by `sched` below and the
+            # predecessor fetch/select machinery vanishes entirely
+            lo = use_hi = None
 
-        # per-sample: the quantum-end grain applies from its start sample
-        # on; before that, the predecessor (packing guarantees at most one
-        # switch per quantum per lane)
-        use_hi = tq[None] >= hi["gstart"][..., None]          # (K, nq, Q)
+            def sel(name):
+                return jnp.broadcast_to(
+                    hi[name][..., None], (K, nq, Q))
+        else:
+            lo = variant(gid_hi - 1)
 
-        def sel(name):
-            a, b = hi[name], lo[name]
-            return jnp.where(use_hi, a[..., None], b[..., None])
+            # per-sample: the quantum-end grain applies from its start
+            # sample on; before that, the predecessor (legacy packing
+            # guarantees at most one switch per quantum per lane)
+            use_hi = tq[None] >= hi["gstart"][..., None]      # (K, nq, Q)
+
+            def sel(name):
+                a, b = hi[name], lo[name]
+                return jnp.where(use_hi, a[..., None], b[..., None])
 
         ok = sel("ok")
         startv = sel("startv")
@@ -1109,7 +1143,7 @@ class _FusedVoicesKernel:
                 frv = (d - dfl).reshape(K, B)
                 piv = jnp.clip(iv, 0, L - 1).reshape(K, B)
                 s = self._windowed_fetch(
-                    r["data_rows_g" if self.read_mode == "grouped"
+                    r["data_rows_g" if self.read_mode.startswith("grouped")
                       else "data_win"], piv, frv)
                 cond = (piv + 1 >= L) & ((frv >= 1.0 - 1e-6) | (piv == 0))
                 return s - r["edge_vals"][:, None, None] * \
@@ -1121,12 +1155,12 @@ class _FusedVoicesKernel:
             # itself — pre-switch samples in switching quanta are the only
             # consumers of the lo variant.
             _ablate = os.environ.get("WEBAUDIO_GRAIN_ABLATE", "")
-            if _ablate == "single_variant":
-                smp = smp_of(hi)
-            elif _ablate == "no_read":
+            if _ablate == "no_read":
                 smp = jnp.broadcast_to(
                     frac.reshape(K, B)[None],
                     (r["edge_vals"].shape[0], K, B))
+            elif self.lane_aligned or _ablate == "single_variant":
+                smp = smp_of(hi)
             else:
                 smp = jnp.where(use_hi.reshape(K, B)[None],
                                 smp_of(hi), smp_of(lo))
@@ -1163,9 +1197,12 @@ class _FusedVoicesKernel:
                 # streaming or selection at all
                 t64 = tq.astype(jnp.float64) / jnp.float64(fs)
                 dv_hi = self._compact_env_eval(r, hi["v"], tq, t64)
-                dv_lo = self._compact_env_eval(r, lo["v"], tq, t64)
-                dense = jnp.where(use_hi.reshape(K, B),
-                                  dv_hi, dv_lo)
+                if self.lane_aligned:
+                    dense = dv_hi
+                else:
+                    dv_lo = self._compact_env_eval(r, lo["v"], tq, t64)
+                    dense = jnp.where(use_hi.reshape(K, B),
+                                      dv_hi, dv_lo)
                 g = jnp.clip(dense, self.gain_lim[0], self.gain_lim[1])
             elif len(self.gain_dense):
                 # per-quantum envelope-row selection as a per-QUANTUM row
@@ -1188,8 +1225,11 @@ class _FusedVoicesKernel:
                     sel_rows = flat[(qidx * D + g_).reshape(-1)]
                     return sel_rows.reshape(K, nq, Q)
 
-                dense = jnp.where(use_hi, qdense(hi["grow"]),
-                                  qdense(lo["grow"])).reshape(K, B)
+                if self.lane_aligned:
+                    dense = qdense(hi["grow"]).reshape(K, B)
+                else:
+                    dense = jnp.where(use_hi, qdense(hi["grow"]),
+                                      qdense(lo["grow"])).reshape(K, B)
                 dense = jnp.clip(dense, self.gain_lim[0], self.gain_lim[1])
                 g = jnp.where(grow >= 0, dense, gconst)
             else:

@@ -136,12 +136,12 @@ class _BufferSourceKernel(Kernel):
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
         if mode == "auto":
             return  # single-voice source: gathers win (see docstring)
-        if mode == "grouped":
+        if mode in ("grouped", "grouped_t"):
             g, w = pick_group(rmax, self.buf_channels, self.buf_len,
                               rc.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
-                self.read_mode = "grouped"
+                self.read_mode = mode
             return
         if mode == "window":
             self.win_Qs, self.win_W = pick_window(rmax, rc.block_frames)
@@ -171,7 +171,7 @@ class _BufferSourceKernel(Kernel):
     def _read_resources(self) -> dict:
         """Data-derived resources for the amortized read modes (also
         rebuilt by GraphBatch.override_buffer for per-instance audio)."""
-        if self.read_mode == "grouped":
+        if self.read_mode.startswith("grouped"):
             from ..ops.grain_read import stage_rows
 
             return {"data_rows_g": stage_rows(self._window_data(),
@@ -347,10 +347,12 @@ class _BufferSourceKernel(Kernel):
             u = jnp.clip(fl, 0.0, float(L - 1)).astype(jnp.int32)
             wrap_len = 0
         k = (base - fl).astype(jnp.float32)
-        if self.read_mode == "grouped":
-            from ..ops.grain_read import grouped_row_lerp
+        if self.read_mode.startswith("grouped"):
+            from ..ops.grain_read import grouped_row_lerp, grouped_row_lerp_t
 
-            out = grouped_row_lerp(
+            fn = (grouped_row_lerp_t if self.read_mode == "grouped_t"
+                  else grouped_row_lerp)
+            out = fn(
                 scope.node_resources["data_rows_g"], u[None, :],
                 k[None, :], self.win_Qs, self.win_W, wrap_len)[:, 0, :]
         else:

@@ -205,6 +205,39 @@ def stage_rows(data_ext: np.ndarray, w: int) -> np.ndarray:
     return np.ascontiguousarray(sw.transpose(1, 0, 2))       # (N, C, w)
 
 
+def grouped_row_lerp_t(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
+    """Transposed grouped-row two-hot: same contract as grouped_row_lerp,
+    but every tensor in the select/lerp carries the SAMPLE axis as its
+    minor (lane) dimension.  The straight formulation's intermediates are
+    (R*S, g, w) with minor dims g=16/w~21 — TPU tiles pad the lane dim to
+    128, so the fused select ran at ~1/6 lane utilization.  Here the
+    gathered rows transpose once to (w, C, R*S) and the two-hot weights
+    build as (w, S_tot) with S_tot = R*B minor — full 128-lane tiles —
+    and the reduce runs over the w MAJOR axis.  Numerics identical (f32
+    multiply + axis-reduce in the same lane order)."""
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                  # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)              # (R*S, g)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                        # (R*S, C, w)
+    rows_t = jnp.transpose(rows, (2, 1, 0))                  # (w, C, R*S)
+    s_tot = R * B
+    loc_s = loc.reshape(1, s_tot)                            # sample order
+    fr_s = frq.reshape(1, s_tot)
+    wgrid = jnp.arange(w, dtype=jnp.int32)[:, None]          # (w, 1)
+    twp = (jnp.where(wgrid == loc_s, 1.0 - fr_s, 0.0)
+           + jnp.where(wgrid == loc_s + 1, fr_s, 0.0))       # (w, s_tot)
+    vals = jnp.broadcast_to(
+        rows_t[:, :, :, None], (w, C, R * S, g)).reshape(w, C, s_tot)
+    out = jnp.sum(twp[:, None, :] * vals, axis=0)            # (C, s_tot)
+    return out.reshape(C, R, B)
+
+
 def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
     group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
