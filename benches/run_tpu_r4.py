@@ -32,11 +32,13 @@ MAIN_CASES = [
     "mixed_corpus", "script_processor_probe",
 ]
 AB_TWO_RATE = ["convolution_reverb", "delay_network"]
-AB_LANE_ENV = ["granular_grains"]
 AB_CURVE = ["mastering_chain"]   # vs WEBAUDIO_CURVE=major (r3) / gather
-# lane packing (K=5 rows vs 400) rewrote the read geometry, so re-judge
-# the Pallas windowed kernel (r3 judged it at voice-row geometry)
-AB_READ = ["granular_grains"]    # vs WEBAUDIO_GRAIN_READ=window
+# session-4+ A/Bs: transposed grouped-row select (grouped_t, the new
+# default) vs the straight round-3 layout, and quantum-aligned lane
+# packing (single fetch) vs the legacy hi/lo packing.  (lane_env_off and
+# read_window were settled twice in sessions 1-3: ~390x / ~200x.)
+AB_READ_STRAIGHT = ["granular_grains"]   # WEBAUDIO_GRAIN_READ=grouped
+AB_UNALIGNED = ["granular_grains"]       # WEBAUDIO_GRAIN_ALIGNED=0
 
 
 def _emit(**kw):
@@ -73,9 +75,10 @@ def main():
         assert dev < 2e-6, dev
         _emit(stage="pallas_smoke", ok=True, maxdev=dev)
     except Exception as exc:
-        os.environ["WEBAUDIO_GRAIN_READ"] = "gather"
+        # informational only: the default read path (grouped_t) is pure
+        # XLA; Pallas is reached only via WEBAUDIO_GRAIN_READ=window
         _emit(stage="pallas_smoke", ok=False,
-              error=f"{type(exc).__name__}: {exc}"[:300], fallback="gather")
+              error=f"{type(exc).__name__}: {exc}"[:300])
 
     # curve-kernel smoke: gate the Pallas curve paths the same way.
     # pallas2 (the grain_read-shaped kernel, samples on lanes) is tried
@@ -100,6 +103,7 @@ def main():
     from webaudio_tpu.ops import curve_kernel as ck
 
     for mode, fn, tab in (
+            ("pallas3", ck.curve_lookup_tpu_v3, T),
             ("pallas2", ck.curve_lookup_tpu_v2, T),
             ("pallas", ck.curve_lookup_tpu, T.T)):
         try:
@@ -134,12 +138,19 @@ def main():
             suite.main()
             os.environ.pop("WEBAUDIO_TWO_RATE", None)
 
-            _emit(stage="ab", variant="lane_env_off")
-            os.environ["WEBAUDIO_LANE_ENV"] = "0"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":lane_env_off"
-            sys.argv = ["suite.py"] + AB_LANE_ENV
+            _emit(stage="ab", variant="read_grouped_straight")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":read_grouped_straight"
+            sys.argv = ["suite.py"] + AB_READ_STRAIGHT
             suite.main()
-            os.environ.pop("WEBAUDIO_LANE_ENV", None)
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+            _emit(stage="ab", variant="unaligned")
+            os.environ["WEBAUDIO_GRAIN_ALIGNED"] = "0"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":unaligned"
+            sys.argv = ["suite.py"] + AB_UNALIGNED
+            suite.main()
+            os.environ.pop("WEBAUDIO_GRAIN_ALIGNED", None)
 
             # curve-formulation A/B for the mastering residual: the main
             # phase already ran the session's best mode (pallas2/pallas
@@ -162,13 +173,6 @@ def main():
                 os.environ["WEBAUDIO_CURVE"] = chosen
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
-            _emit(stage="ab", variant="grain_read_window")
-            os.environ["WEBAUDIO_GRAIN_READ"] = "window"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":read_window"
-            sys.argv = ["suite.py"] + AB_READ
-            suite.main()
-            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
-            os.environ.pop("WEBAUDIO_BENCH_TAG", None)
     finally:
         sys.argv = saved_argv
 

@@ -85,7 +85,7 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     mode = _os.environ.get("WEBAUDIO_CURVE", "xla")
     if x.size >= (1 << 15) and \
             jax.devices()[0].platform in ("tpu", "axon") and \
-            mode in ("pallas", "pallas2"):
+            mode in ("pallas", "pallas2", "pallas3"):
         # large blocks on TPU: the fused Pallas lookup (same math, the
         # one-hot and segment matrices never leave VMEM; ops/curve_kernel).
         # OPT-IN: the axon remote Mosaic compile helper crashes on the v1
@@ -93,7 +93,11 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         # and benches/final_g.py); "pallas2" is the grain_read-shaped
         # retry (samples on lanes — the layout that kernel family proves
         # compiles).  benches/run_tpu_r4.py smoke-gates both per session.
-        if mode == "pallas2":
+        if mode == "pallas3":
+            from ..ops.curve_kernel import curve_lookup_tpu_v3
+
+            y = curve_lookup_tpu_v3(x.reshape(-1), T, n, _SEG)
+        elif mode == "pallas2":
             from ..ops.curve_kernel import curve_lookup_tpu_v2
 
             y = curve_lookup_tpu_v2(x.reshape(-1), T, n, _SEG)

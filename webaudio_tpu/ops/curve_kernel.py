@@ -90,6 +90,80 @@ GV2 = 16   # sample rows (of Q lanes) per grid step in the v2 kernel
 QV2 = 128  # samples per row
 
 
+def _kernel_v3(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, segp: int,
+               nseg: int, prec: str):
+    """v3: v2 with the dot contraction over a 128-PADDED segment axis —
+    v2 contracted over seg+1 = 65, not a sublane/lane multiple, where the
+    (remote-compiling) grain kernel's W is always a 64-multiple.  Math
+    unchanged: the pad lanes of the two-hot are structurally zero
+    (lo <= seg-1 < segp-1).  (A rank-2 traced-row write was also tried
+    and hits a local Mosaic _masked_swap lowering bug; the rank-1 row
+    write lowers.)"""
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    for j in range(GV2):
+        j32 = jnp.int32(j)   # python ints lift to i64 under x64
+        lo = lo_ref[j32, :][None, :]                       # (1, Q)
+        fr = f_ref[j32, :][None, :]
+        hi = hi_ref[j32, :][None, :]
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (segp, lo.shape[1]), 0)             # (segp, Q)
+        ohT = (jnp.where(lanes == lo, one - fr, zero)
+               + jnp.where(lanes == lo + jnp.int32(1), fr, zero))
+        P = jax.lax.dot_general(
+            table_ref[...], ohT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_PREC[prec])                         # (nseg, Q)
+        segs = jax.lax.broadcasted_iota(
+            jnp.int32, (nseg, lo.shape[1]), 0)
+        out_ref[j32, :] = jnp.sum(jnp.where(segs == hi, P, zero), axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "seg", "interpret", "prec"))
+def curve_lookup_tpu_v3(x_flat, table, n: int, seg: int,
+                        interpret: bool = False, prec: str = "highest"):
+    """x_flat (M,) f32; table (nseg, seg+1) f32 -> (M,) f32.  Same math
+    as curve_lookup_tpu_v2 with tile-aligned dot operands (_kernel_v3)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nseg = table.shape[0]
+    segp = 128 * ((seg + 1 + 127) // 128)     # padded contraction axis
+    tpad = jnp.zeros((nseg, segp), jnp.float32).at[:, :seg + 1].set(table)
+    M = x_flat.shape[0]
+    row = GV2 * QV2
+    pad = (-M) % row
+    xp = jnp.pad(x_flat, (0, pad)).reshape((M + pad) // QV2, QV2)
+
+    v = jnp.float32((n - 1) / 2.0) * (xp + jnp.float32(1.0))
+    v = jnp.clip(v, jnp.float32(0.0), jnp.float32(n - 1))
+    ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), jnp.int32(n - 2))
+    f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
+    hi = ki // jnp.int32(seg)
+    lo = ki - hi * jnp.int32(seg)
+    NB = xp.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3, segp=segp, nseg=nseg, prec=prec),
+        out_shape=jax.ShapeDtypeStruct((NB, QV2), jnp.float32),
+        grid=(NB // GV2,),
+        in_specs=[
+            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lo, f, hi, tpad)
+    return out.reshape(-1)[:M]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n", "seg", "interpret", "prec"))
 def curve_lookup_tpu_v2(x_flat, table, n: int, seg: int,
