@@ -581,3 +581,96 @@ def test_ref_varying_param_size():
 
     run(register_late=True)   # event registered online during rendering
     run(register_late=False)  # event registered before rendering
+
+
+def test_ref_steps_a_rate_first_run():
+    """param.rs test_steps_a_rate FIRST case (param.rs:1815-1844): the
+    clamped-range event keeps its UNCLAMPED intrinsic value (12 with max
+    10 — clamping is consumer-side), and once the timeline is consumed the
+    remaining constant compiles to a scalar (the reference's length-1
+    buffer)."""
+    tl = Timeline(0.0)
+    tl.handle_event(ev(SET_VALUE_AT_TIME, 5.0, 2.0))
+    tl.handle_event(ev(SET_VALUE_AT_TIME, 12.0, 8.0))
+    tl.handle_event(ev(SET_VALUE_AT_TIME, 8.0, 10.0))
+    np.testing.assert_array_equal(
+        dense(tl, 10), [0, 0, 5, 5, 5, 5, 5, 5, 12, 12])
+    c = compile_timeline(tl, 1.0, 10, True, start_frame=10)
+    assert c.dense is None and c.scalar == 8.0
+
+
+def test_ref_exponential_ramp_k_rate_zero_and_opposite():
+    """param.rs test_exponential_ramp_k_rate_zero_and_opposite_target
+    (param.rs:2316-2361), times scaled to 128-frame quanta: a ramp whose
+    start value is 0 or of opposite sign to the target degenerates to a
+    step AT the ramp's end time (exponential interpolation is undefined
+    through zero)."""
+    # zero start value
+    tl = Timeline(0.0)
+    tl.handle_event(ev(EXPONENTIAL_RAMP, 1.0, 5.0 * Q))
+    out = dense(tl, 10 * Q, a_rate=False)
+    np.testing.assert_array_equal(out[:5 * Q], [0.0] * (5 * Q))
+    np.testing.assert_array_equal(out[5 * Q:], [1.0] * (5 * Q))
+
+    # opposite signs
+    tl = Timeline(-1.0)
+    tl.handle_event(ev(EXPONENTIAL_RAMP, 1.0, 5.0 * Q))
+    out = dense(tl, 10 * Q, a_rate=False)
+    np.testing.assert_array_equal(out[:5 * Q], [-1.0] * (5 * Q))
+    np.testing.assert_array_equal(out[5 * Q:], [1.0] * (5 * Q))
+
+
+def test_ref_varying_param_size_modulated():
+    """param.rs test_varying_param_size_modulated (param.rs:3398-3460):
+    a constant (scalar-compiled) param with an audio INPUT sums the input
+    onto the intrinsic value per sample.  Graph-level analog: gain=0 with
+    a one-sample impulse driving gain.gain — output passes exactly the
+    impulse-gated sample; silence input keeps the scalar (all-zero)
+    output."""
+    import webaudio_tpu as wa
+
+    fs = 48000.0
+
+    def render(with_impulse):
+        ctx = wa.OfflineAudioContext(1, Q, fs)
+        src = ctx.create_constant_source(offset=1.0)
+        g = ctx.create_gain(gain=0.0)
+        src.connect(g)
+        g.connect(ctx.destination)
+        src.start()
+        if with_impulse:
+            ibuf = ctx.create_buffer(1, 1, fs)
+            ibuf.copy_to_channel(np.asarray([1.0], np.float32), 0)
+            imp = ctx.create_buffer_source()
+            imp.buffer = ibuf
+            imp.start()
+            imp.connect(g.gain)
+        return ctx.start_rendering_sync().get_channel_data(0)
+
+    silent = render(False)
+    np.testing.assert_array_equal(silent, np.zeros(Q, np.float32))
+    mod = render(True)
+    expected = np.zeros(Q, np.float32)
+    expected[0] = 1.0
+    np.testing.assert_array_equal(mod, expected)
+
+
+def test_ref_audioparam_clones_in_sync():
+    """param.rs test_audioparam_clones_in_sync (param.rs:1737-1763): every
+    handle to the same AudioParam observes rate/value mutations made
+    through any other handle (the reference clones Arc-backed handles;
+    here handles ARE the shared object — assert the same contract)."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.param import AutomationRate
+
+    ctx = wa.OfflineAudioContext(1, Q, 48000.0)
+    g = ctx.create_gain()
+    p1 = g.gain
+    p2 = g.gain
+    p1.automation_rate = AutomationRate.K
+    assert p2.automation_rate == AutomationRate.K
+    p1.set_value(2.0)
+    assert p1.value == pytest.approx(2.0)
+    assert p2.value == pytest.approx(2.0)
+    p2.set_value(3.0)
+    assert p1.value == pytest.approx(3.0)
