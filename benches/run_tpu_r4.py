@@ -102,23 +102,37 @@ def main():
 
     from webaudio_tpu.ops import curve_kernel as ck
 
+    # Diagnostic only — the XLA transposed two-hot stays the session
+    # default.  pallas3 (tile-aligned, gridded table) COMPILES on the
+    # remote Mosaic (trigger isolated: ungridded no-block-shape VMEM
+    # operands HTTP-500 the compile helper; v1/v2 both carry one) but
+    # measured SLOWER in situ than the XLA formulation in three
+    # same-process A/Bs (508 vs 617, 648/684 vs 802) — grid-serialized
+    # dots vs overlap-friendly XLA streaming.
     for mode, fn, tab in (
-            ("pallas3", ck.curve_lookup_tpu_v3, T),
+            ("pallas3", ck.curve_lookup_tpu_v3, None),
             ("pallas2", ck.curve_lookup_tpu_v2, T),
             ("pallas", ck.curve_lookup_tpu, T.T)):
+        if mode == "pallas3":
+            segk = 127
+            nsegk = -(-n // segk)
+            npadk = nsegk * segk
+            cpk = np.concatenate(
+                [curve, np.broadcast_to(curve[-1], (npadk + 1 - n,))])
+            tab = np.zeros((nsegk, segk + 1), np.float32)
+            tab[:, :segk] = cpk[:npadk].reshape(nsegk, segk)
+            tab[:, segk] = cpk[segk::segk][:nsegk]
+            segx = segk
+        else:
+            segx = seg
         try:
-            got = np.asarray(fn(jnp.asarray(xs), jnp.asarray(tab), n, seg))
+            got = np.asarray(fn(jnp.asarray(xs), jnp.asarray(tab), n, segx))
             dev = float(np.abs(got - ref).max())
             assert dev < 2e-6, dev
-            os.environ["WEBAUDIO_CURVE"] = mode   # proven: enable
             _emit(stage="curve_smoke", ok=True, mode=mode, maxdev=dev)
-            break
         except Exception as exc:
             _emit(stage="curve_smoke", ok=False, mode=mode,
                   error=f"{type(exc).__name__}: {exc}"[:300])
-    else:
-        os.environ.pop("WEBAUDIO_CURVE", None)    # default (transposed) xla
-        _emit(stage="curve_smoke", fallback="xla")
 
     import suite
 

@@ -96,7 +96,19 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         if mode == "pallas3":
             from ..ops.curve_kernel import curve_lookup_tpu_v3
 
-            y = curve_lookup_tpu_v3(x.reshape(-1), T, n, _SEG)
+            # kernel-shaped table: SEG=127 makes each row (SEG+1 = 128)
+            # exactly one lane tile — the padded-to-128 contraction adds
+            # zero extra MACs and nseg drops ~2x vs SEG=64 (the dot is
+            # the kernel's dominant cost: M*(SEG_pad)*nseg MACs)
+            segk = 127
+            nsegk = -(-n // segk)
+            npadk = nsegk * segk
+            cpk = jnp.concatenate(
+                [curve, jnp.broadcast_to(curve[-1], (npadk + 1 - n,))])
+            Tk = jnp.zeros((nsegk, segk + 1), curve.dtype)
+            Tk = Tk.at[:, :segk].set(cpk[:npadk].reshape(nsegk, segk))
+            Tk = Tk.at[:, segk].set(cpk[segk::segk][:nsegk])
+            y = curve_lookup_tpu_v3(x.reshape(-1), Tk, n, segk)
         elif mode == "pallas2":
             from ..ops.curve_kernel import curve_lookup_tpu_v2
 

@@ -88,6 +88,15 @@ def _kernel_v2(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, seg: int,
 
 GV2 = 16   # sample rows (of Q lanes) per grid step in the v2 kernel
 QV2 = 128  # samples per row
+# v3 row geometry: WIDE rows so each in-kernel dot is MXU-shaped.  At
+# (GV2, QV2) = (16, 128) the kernel issued one tiny (nseg, segp)@(segp,
+# 128) dot per 128 samples — ~30k serialized dots per mastering block,
+# measured SLOWER in situ than the XLA two-hot despite zero HBM one-hot
+# traffic.  (4, 2048) keeps VMEM blocks small (~1 MB one-hot) while each
+# dot contracts against 2048 lanes.
+GV3 = 8    # rows per grid step (sublane-divisible: Pallas
+           # requires the block's penultimate dim % 8 == 0)
+QV3 = 2048  # samples per row
 
 
 def _kernel_v3(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, segp: int,
@@ -99,17 +108,20 @@ def _kernel_v3(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, segp: int,
     (lo <= seg-1 < segp-1).  (A rank-2 traced-row write was also tried
     and hits a local Mosaic _masked_swap lowering bug; the rank-1 row
     write lowers.)"""
-    one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
-    for j in range(GV2):
+    one = jnp.float32(1.0)
+    for j in range(GV3):
         j32 = jnp.int32(j)   # python ints lift to i64 under x64
         lo = lo_ref[j32, :][None, :]                       # (1, Q)
         fr = f_ref[j32, :][None, :]
         hi = hi_ref[j32, :][None, :]
+        # two-hot as the triangular hat max(0, 1-|l-(lo+f)|): bit-equal
+        # to the two-where construct (lo+f < segp <= 2^7 is f32-exact)
+        # in ~3 VPU ops per lane instead of ~5
         lanes = jax.lax.broadcasted_iota(
-            jnp.int32, (segp, lo.shape[1]), 0)             # (segp, Q)
-        ohT = (jnp.where(lanes == lo, one - fr, zero)
-               + jnp.where(lanes == lo + jnp.int32(1), fr, zero))
+            jnp.int32, (segp, lo.shape[1]), 0).astype(jnp.float32)
+        pos = lo.astype(jnp.float32) + fr
+        ohT = jnp.maximum(zero, one - jnp.abs(lanes - pos))  # (segp, Q)
         P = jax.lax.dot_general(
             table_ref[...], ohT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -120,11 +132,22 @@ def _kernel_v3(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, segp: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "seg", "interpret", "prec"))
+                   static_argnames=("n", "seg", "interpret", "prec",
+                                    "gridded_table"))
 def curve_lookup_tpu_v3(x_flat, table, n: int, seg: int,
-                        interpret: bool = False, prec: str = "highest"):
+                        interpret: bool = False, prec: str = "highest",
+                        gridded_table: bool = True):
     """x_flat (M,) f32; table (nseg, seg+1) f32 -> (M,) f32.  Same math
-    as curve_lookup_tpu_v2 with tile-aligned dot operands (_kernel_v3)."""
+    as curve_lookup_tpu_v2 with tile-aligned dot operands (_kernel_v3).
+
+    gridded_table=True (default) block-maps the table with a constant
+    index map instead of an ungridded full-VMEM operand.  THIS ISOLATED
+    THE REMOTE-MOSAIC FAILURE: the axon compile helper HTTP-500s on any
+    kernel with a no-block-shape VMEM operand (v1/v2/gridded_table=False
+    all fail; this exact kernel with the constant-index-map table
+    compiles and matches to 1.2e-7 on chip — bisected 2026-08-17).  The
+    windowed-read kernel always compiled because it block-maps every
+    input."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -132,9 +155,9 @@ def curve_lookup_tpu_v3(x_flat, table, n: int, seg: int,
     segp = 128 * ((seg + 1 + 127) // 128)     # padded contraction axis
     tpad = jnp.zeros((nseg, segp), jnp.float32).at[:, :seg + 1].set(table)
     M = x_flat.shape[0]
-    row = GV2 * QV2
+    row = GV3 * QV3
     pad = (-M) % row
-    xp = jnp.pad(x_flat, (0, pad)).reshape((M + pad) // QV2, QV2)
+    xp = jnp.pad(x_flat, (0, pad)).reshape((M + pad) // QV3, QV3)
 
     v = jnp.float32((n - 1) / 2.0) * (xp + jnp.float32(1.0))
     v = jnp.clip(v, jnp.float32(0.0), jnp.float32(n - 1))
@@ -144,20 +167,25 @@ def curve_lookup_tpu_v3(x_flat, table, n: int, seg: int,
     lo = ki - hi * jnp.int32(seg)
     NB = xp.shape[0]
 
+    table_spec = (pl.BlockSpec((nseg, segp),
+                               lambda i: (jnp.int32(0), jnp.int32(0)),
+                               memory_space=pltpu.VMEM)
+                  if gridded_table
+                  else pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_kernel_v3, segp=segp, nseg=nseg, prec=prec),
-        out_shape=jax.ShapeDtypeStruct((NB, QV2), jnp.float32),
-        grid=(NB // GV2,),
+        out_shape=jax.ShapeDtypeStruct((NB, QV3), jnp.float32),
+        grid=(NB // GV3,),
         in_specs=[
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            table_spec,
         ],
-        out_specs=pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+        out_specs=pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(lo, f, hi, tpad)
@@ -176,9 +204,9 @@ def curve_lookup_tpu_v2(x_flat, table, n: int, seg: int,
 
     nseg = table.shape[0]
     M = x_flat.shape[0]
-    row = GV2 * QV2
+    row = GV3 * QV3
     pad = (-M) % row
-    xp = jnp.pad(x_flat, (0, pad)).reshape((M + pad) // QV2, QV2)
+    xp = jnp.pad(x_flat, (0, pad)).reshape((M + pad) // QV3, QV3)
 
     v = jnp.float32((n - 1) / 2.0) * (xp + jnp.float32(1.0))
     v = jnp.clip(v, jnp.float32(0.0), jnp.float32(n - 1))
@@ -190,18 +218,18 @@ def curve_lookup_tpu_v2(x_flat, table, n: int, seg: int,
 
     out = pl.pallas_call(
         functools.partial(_kernel_v2, seg=seg, nseg=nseg, prec=prec),
-        out_shape=jax.ShapeDtypeStruct((NB, QV2), jnp.float32),
-        grid=(NB // GV2,),
+        out_shape=jax.ShapeDtypeStruct((NB, QV3), jnp.float32),
+        grid=(NB // GV3,),
         in_specs=[
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+            pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((GV2, QV2), lambda i: (i, jnp.int32(0)),
+        out_specs=pl.BlockSpec((GV3, QV3), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(lo, f, hi, table)
