@@ -28,17 +28,19 @@ MAIN_CASES = [
     "buffer_biquad", "many_oscillators", "many_oscillators_fused",
     "convolution_reverb", "hrtf_moving", "mastering_chain",
     "stereo_pan_automation", "iir_chain", "delay_network",
-    "granular_grains", "batched_graphs", "batched_graphs_1024",
-    "mixed_corpus", "script_processor_probe",
+    "granular_grains", "granular_grains_800", "batched_graphs",
+    "batched_graphs_1024", "mixed_corpus", "script_processor_probe",
 ]
-AB_TWO_RATE = ["convolution_reverb", "delay_network"]
-AB_CURVE = ["mastering_chain"]   # vs WEBAUDIO_CURVE=major (r3) / gather
-# session-4+ A/Bs: transposed grouped-row select (grouped_t, the new
-# default) vs the straight round-3 layout, and quantum-aligned lane
-# packing (single fetch) vs the legacy hi/lo packing.  (lane_env_off and
-# read_window were settled twice in sessions 1-3: ~390x / ~200x.)
-AB_READ_STRAIGHT = ["granular_grains"]   # WEBAUDIO_GRAIN_READ=grouped
-AB_UNALIGNED = ["granular_grains"]       # WEBAUDIO_GRAIN_ALIGNED=0
+AB_CURVE = ["mastering_chain"]
+# Settled A/Bs (re-measure by passing the case name + env by hand):
+#   two_rate_off      (s4: conv 517 vs 924, delay 727 vs 1127)
+#   read_grouped_straight (s4: 896 vs 1012), unaligned (s4: 691 vs 1012)
+#   curve_major       (s4: 487 vs 802), lane_env_off (~390), window (~200)
+# Session-5 curve candidates (both kill the materialized two-hot
+# intermediates, ~3 GB/render in the mastering case):
+#   pallas3  — wide-row (8, 2048) fused kernel, gridded table (the one
+#              shape the remote Mosaic compiles; smoke-gated below)
+#   rowgather — XLA row gather + fused hat-reduce (gather-fusion bet)
 
 
 def _emit(**kw):
@@ -53,6 +55,26 @@ def main():
     float(jax.jit(lambda a: (jnp.sin(a) * a).sum())(
         jnp.arange(128, dtype=jnp.float32)))
     _emit(stage="warmup", cold_start_s=round(time.perf_counter() - t0, 1))
+
+    # dispatch-floor probe: a trivial program timed with the suite's own
+    # 5-dispatch pipeline + single fence protocol.  stereo_pan (near-zero
+    # real work) measures ~8 ms/render, and the session-4 profile showed
+    # component removal doesn't move mastering below ~12 ms — this pins
+    # how much of every case's wall is per-execute tunnel latency.
+    triv = jax.jit(lambda a: (a * jnp.float32(1.000001)).sum())
+    arg = jnp.arange(1024, dtype=jnp.float32)
+    float(triv(arg))   # compile
+    floors = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(5):
+            r = triv(arg)
+        float(r)
+        floors.append((time.perf_counter() - t0) / 5)
+    floors.sort()
+    _emit(stage="dispatch_floor", ms_per_exec=round(floors[1] * 1e3, 3),
+          runs_ms=[round(f * 1e3, 3) for f in floors])
 
     rng = np.random.default_rng(2)
 
@@ -102,13 +124,13 @@ def main():
 
     from webaudio_tpu.ops import curve_kernel as ck
 
-    # Diagnostic only — the XLA transposed two-hot stays the session
-    # default.  pallas3 (tile-aligned, gridded table) COMPILES on the
-    # remote Mosaic (trigger isolated: ungridded no-block-shape VMEM
-    # operands HTTP-500 the compile helper; v1/v2 both carry one) but
-    # measured SLOWER in situ than the XLA formulation in three
-    # same-process A/Bs (508 vs 617, 648/684 vs 802) — grid-serialized
-    # dots vs overlap-friendly XLA streaming.
+    # The XLA transposed two-hot stays the session default; pallas3
+    # (tile-aligned, gridded table) COMPILES on the remote Mosaic
+    # (trigger isolated: ungridded no-block-shape VMEM operands HTTP-500
+    # the compile helper; v1/v2 both carry one).  Sessions 2-4 measured
+    # the OLD (16, 128) row geometry slower in situ (~30k grid-serialized
+    # tiny dots); session 5 A/Bs the wide-row (8, 2048) geometry below.
+    smoked_ok = set()
     for mode, fn, tab in (
             ("pallas3", ck.curve_lookup_tpu_v3, None),
             ("pallas2", ck.curve_lookup_tpu_v2, T),
@@ -129,6 +151,7 @@ def main():
             got = np.asarray(fn(jnp.asarray(xs), jnp.asarray(tab), n, segx))
             dev = float(np.abs(got - ref).max())
             assert dev < 2e-6, dev
+            smoked_ok.add(mode)
             _emit(stage="curve_smoke", ok=True, mode=mode, maxdev=dev)
         except Exception as exc:
             _emit(stage="curve_smoke", ok=False, mode=mode,
@@ -144,47 +167,19 @@ def main():
         suite.main()
 
         if not requested:
-            # A/B: round-3 formulations, same process, same service health
-            _emit(stage="ab", variant="two_rate_off")
-            os.environ["WEBAUDIO_TWO_RATE"] = "0"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":two_rate_off"
-            sys.argv = ["suite.py"] + AB_TWO_RATE
-            suite.main()
-            os.environ.pop("WEBAUDIO_TWO_RATE", None)
-
-            _emit(stage="ab", variant="read_grouped_straight")
-            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":read_grouped_straight"
-            sys.argv = ["suite.py"] + AB_READ_STRAIGHT
-            suite.main()
-            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
-
-            _emit(stage="ab", variant="unaligned")
-            os.environ["WEBAUDIO_GRAIN_ALIGNED"] = "0"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":unaligned"
-            sys.argv = ["suite.py"] + AB_UNALIGNED
-            suite.main()
-            os.environ.pop("WEBAUDIO_GRAIN_ALIGNED", None)
-
             # curve-formulation A/B for the mastering residual: the main
-            # phase already ran the session's best mode (pallas2/pallas
-            # when the smoke passed, else transposed XLA); measure the
-            # round-3 major-axis layout and, when a Pallas mode won the
-            # smoke, the transposed XLA layout too.
-            chosen = os.environ.get("WEBAUDIO_CURVE", "xla")
-            variants = ["major"]
-            if chosen != "xla":
-                variants.append("xla")
+            # phase ran the default (transposed XLA two-hot); measure
+            # the traffic-lean candidates against it in-process.
+            variants = ["rowgather"]
+            if "pallas3" in smoked_ok:
+                variants.insert(0, "pallas3")
             for vmode in variants:
                 _emit(stage="ab", variant=f"curve_{vmode}")
                 os.environ["WEBAUDIO_CURVE"] = vmode
                 os.environ["WEBAUDIO_BENCH_TAG"] = f":curve_{vmode}"
                 sys.argv = ["suite.py"] + AB_CURVE
                 suite.main()
-            if chosen == "xla":
-                os.environ.pop("WEBAUDIO_CURVE", None)
-            else:
-                os.environ["WEBAUDIO_CURVE"] = chosen
+            os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
     finally:

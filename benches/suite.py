@@ -531,6 +531,9 @@ CASES = {
     "iir_chain": case_iir_chain,
     "delay_network": case_delay_network,
     "granular_grains": case_granular_grains,
+    # VERDICT r3 done-criterion: 800-grain density >= 600x (the r3 code
+    # scaled badly with density: ~430x at 800 grains)
+    "granular_grains_800": lambda: case_granular_grains(800),
 }
 
 

@@ -187,7 +187,7 @@ def test_curve_modes_match_default():
     x = rng.uniform(-1.4, 1.4, size=4096).astype(np.float32)
     curve = np.tanh(np.linspace(-2, 2, 2048)).astype(np.float32)
     ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
-    for mode in ("major", "gather"):
+    for mode in ("major", "gather", "rowgather"):
         os.environ["WEBAUDIO_CURVE"] = mode
         try:
             got = np.asarray(apply_curve(jnp.asarray(curve),

@@ -121,6 +121,25 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     if mode == "gather":
         # A/B escape: plain gather+lerp (identical math)
         return _apply_curve_gather(curve, x)
+    if mode == "rowgather":
+        # session-5 candidate: gather whole (SEG+1)-wide segment ROWS by
+        # the coarse index, then a fused triangular-hat multiply-reduce
+        # over the row.  The row gather is contiguous (65 f32 per fetch)
+        # and XLA-TPU can fuse gathers into loop fusions — if the
+        # (M, 65) tile fuses into the reduce, HBM traffic drops to
+        # x-in + y-out (8 B/sample) vs ~776 B/sample for the two-hot
+        # matmuls.  Identical index/fraction math to the gather+lerp.
+        v = (n - 1) / 2.0 * (x.reshape(-1) + 1.0)
+        v = jnp.clip(v, 0.0, float(n - 1))
+        ki = jnp.minimum(jnp.floor(v).astype(jnp.int32), n - 2)
+        f = (v - ki.astype(jnp.float32)).astype(jnp.float32)
+        hi = ki // _SEG
+        pos = (ki - hi * _SEG).astype(jnp.float32) + f       # in [0, SEG]
+        tile = jnp.take(T, hi, axis=0)                       # (M, SEG+1)
+        lanes = jnp.arange(_SEG + 1, dtype=jnp.float32)[None, :]
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(lanes - pos[:, None]))
+        y = jnp.sum(tile * hat, axis=1)
+        return y.reshape(shape)
 
     v = (n - 1) / 2.0 * (x.reshape(-1) + 1.0)
     v = jnp.clip(v, 0.0, float(n - 1))
