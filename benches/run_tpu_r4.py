@@ -64,17 +64,19 @@ def main():
     triv = jax.jit(lambda a: (a * jnp.float32(1.000001)).sum())
     arg = jnp.arange(1024, dtype=jnp.float32)
     float(triv(arg))   # compile
-    floors = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(5):
-            r = triv(arg)
-        float(r)
-        floors.append((time.perf_counter() - t0) / 5)
-    floors.sort()
-    _emit(stage="dispatch_floor", ms_per_exec=round(floors[1] * 1e3, 3),
-          runs_ms=[round(f * 1e3, 3) for f in floors])
+    for depth in (1, 5, 25, 100):
+        floors = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(depth):
+                r = triv(arg)
+            float(r)
+            floors.append((time.perf_counter() - t0) / depth)
+        floors.sort()
+        _emit(stage="dispatch_floor", depth=depth,
+              ms_per_exec=round(floors[1] * 1e3, 3),
+              runs_ms=[round(f * 1e3, 3) for f in floors])
 
     rng = np.random.default_rng(2)
 

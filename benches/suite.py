@@ -113,6 +113,22 @@ def _measure(ctx, seconds, runs=5):
     fields["runs"] = [round(f, 1) for f in factors]
     fields["spread_pct"] = round(
         100.0 * (factors[-1] - factors[0]) / factors[len(factors) // 2], 1)
+    # steady-state throughput: same protocol with a 25-deep pipeline.
+    # The end-of-trial fence costs one tunnel readback RTT (~tens of ms)
+    # regardless of depth; at depth 5 that fixed cost is ~1/5 of every
+    # case's wall (the ~8 ms/render floor trivial graphs measure).  A
+    # serving deployment keeps the queue full, so the deeper pipeline is
+    # the honest throughput number; `value` (depth 5) is kept for
+    # round-over-round comparability.
+    ss = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(25):
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        _force(lambda: probe(out))
+        ss.append(seconds / ((time.perf_counter() - t0) / 25))
+    fields["value_ss25"] = round(max(ss), 1)
+    fields["ss25_runs"] = [round(f, 1) for f in ss]
     return factors[len(factors) // 2], compile_s, fields
 
 
