@@ -88,8 +88,12 @@ def main():
     # steady-state throughput: pipeline the renders, fence once at the end
     # of each trial.  >=3 independent fenced trials so the artifact carries
     # the run-to-run spread (~±20% tunnel dispatch drift) instead of a
-    # single number that may be quoted from a drift peak.
-    trials, runs = 3, 10
+    # single number that may be quoted from a drift peak.  Depth 50: the
+    # end-of-trial fence costs a FIXED ~29 ms tunnel readback RTT
+    # regardless of depth (r4 dispatch_floor probe: 29.1 ms/exec at depth
+    # 1 -> 0.46 at depth 100), so shallow pipelines measure the fence,
+    # not the render; at depth 50 the artifact is <0.6 ms/render.
+    trials, runs = 3, 50
     factors = []
     for _ in range(trials):
         t0 = time.perf_counter()
