@@ -195,3 +195,25 @@ def test_curve_modes_match_default():
         finally:
             os.environ.pop("WEBAUDIO_CURVE", None)
         np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=mode)
+
+
+def test_curve_auto_mode_cpu_is_xla():
+    """Default (auto) curve mode on CPU must take the XLA path bit-exactly
+    (the pallas3 probe only fires on tpu/axon backends) — including at
+    sizes past the pallas threshold."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.nodes.waveshaper import apply_curve
+    from webaudio_tpu.ops.curve_kernel import pallas3_supported
+
+    assert pallas3_supported() is False  # CPU backend
+    rng = np.random.default_rng(32)
+    x = rng.uniform(-1.4, 1.4, size=(1 << 15) + 17).astype(np.float32)
+    curve = np.tanh(np.linspace(-2, 2, 1024)).astype(np.float32)
+    auto = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+    os.environ["WEBAUDIO_CURVE"] = "xla"
+    try:
+        ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+    finally:
+        os.environ.pop("WEBAUDIO_CURVE", None)
+    np.testing.assert_array_equal(auto, ref)

@@ -82,7 +82,20 @@ def apply_curve(curve: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     shape = x.shape
     import os as _os
 
-    mode = _os.environ.get("WEBAUDIO_CURVE", "xla")
+    mode = _os.environ.get("WEBAUDIO_CURVE", "auto")
+    if mode == "auto":
+        # auto: fused pallas3 kernel on TPU backends whose Mosaic
+        # accepts it (probed once per process — see
+        # ops/curve_kernel.pallas3_supported; session-5 A/B: mastering
+        # 920x -> 1359x steady state), XLA two-hot otherwise.  Small
+        # blocks stay XLA: the kernel needs >= GV3*QV3 samples to tile.
+        if x.size >= (1 << 15) and \
+                jax.devices()[0].platform in ("tpu", "axon"):
+            from ..ops.curve_kernel import pallas3_supported
+
+            mode = "pallas3" if pallas3_supported() else "xla"
+        else:
+            mode = "xla"
     if x.size >= (1 << 15) and \
             jax.devices()[0].platform in ("tpu", "axon") and \
             mode in ("pallas", "pallas2", "pallas3"):

@@ -131,6 +131,33 @@ def _kernel_v3(lo_ref, f_ref, hi_ref, table_ref, out_ref, *, segp: int,
         out_ref[j32, :] = jnp.sum(jnp.where(segs == hi, P, zero), axis=0)
 
 
+@functools.lru_cache(maxsize=1)
+def pallas3_supported() -> bool:
+    """One-time probe: does the current default backend compile the v3
+    kernel (curve_lookup_tpu_v3)?  Session-5 bisect (2026-08-17): the
+    axon remote Mosaic accepts v3's gridded-table form and it beats the
+    XLA two-hot in situ (mastering 920x -> 1359x steady state), but
+    earlier Mosaic builds HTTP-500 the whole kernel family — so `auto`
+    mode probes once per process instead of assuming.  Compile-only
+    (block_until_ready, no host readback — device->host transfers have a
+    minutes-scale per-shape setup on the tunneled backend); the
+    persistent compile cache makes the probe ~1 s after the first
+    session.  Numerics are separately smoke-checked on chip by
+    benches/run_tpu_r4.py (maxdev 1.2e-7)."""
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return False
+        segk = 127
+        n = 255
+        nseg = -(-n // segk)
+        table = jnp.zeros((nseg, segk + 1), jnp.float32)
+        x = jnp.zeros((GV3 * QV3,), jnp.float32)
+        jax.block_until_ready(curve_lookup_tpu_v3(x, table, n, segk))
+        return True
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n", "seg", "interpret", "prec",
                                     "gridded_table"))
