@@ -169,12 +169,14 @@ def main():
         suite.main()
 
         if not requested:
-            # curve-formulation A/B for the mastering residual: the main
-            # phase ran the default (transposed XLA two-hot); measure
-            # the traffic-lean candidates against it in-process.
-            variants = ["rowgather"]
-            if "pallas3" in smoked_ok:
-                variants.insert(0, "pallas3")
+            # curve-formulation A/B for the mastering residual: since
+            # session 6 the default is auto (probed pallas3 on this
+            # backend), so the main phase already measures the fused
+            # kernel; A/B the XLA two-hot to track the delta.
+            # (rowgather settled in s5: 632 vs 920 xla — dead end.)
+            variants = ["xla"]
+            if "pallas3" not in smoked_ok:
+                variants = ["rowgather"]
             for vmode in variants:
                 _emit(stage="ab", variant=f"curve_{vmode}")
                 os.environ["WEBAUDIO_CURVE"] = vmode

@@ -131,6 +131,35 @@ class _BufferSourceKernel(Kernel):
         if mode == "gather" or self.const_rate is None or \
                 not self.has_buffer or (self.loop and not self.whole_loop):
             return
+        # ALIGNED unit-step fast path — the reference's own fast track
+        # (audio_buffer_source.rs:554-624, the aligned memcpy case): when
+        # the playhead advances by exactly 1.0 buffer sample per context
+        # frame from an integral start position, every lerp weight is 0
+        # and the read is CONTIGUOUS modulo the loop wrap.  The per-sample
+        # pair gather (~4 ns/element -> ~8 ms on a 10 s stereo render, the
+        # measured floor under iir_chain/buffer_biquad) collapses to one
+        # dynamic_slice from a pre-tiled copy of the buffer.  Bit-exact:
+        # both paths read data[pos] at integer pos.  WEBAUDIO_BUF_ALIGNED=0
+        # reverts to gathers for A/B.
+        if mode in ("auto", "aligned") and \
+                os.environ.get("WEBAUDIO_BUF_ALIGNED", "1") != "0":
+            fs = rc.sample_rate
+            step = self.const_rate * self.buf_rate / fs
+            if self.start_frame < 2**31 - 1:
+                delta = self.start_frame / fs - self.start_time
+            else:
+                delta = 0.0
+            offset_eff = min(max(self.offset + delta * self.const_rate, 0.0),
+                             self.buf_duration)
+            if self.loop:
+                offset_eff = min(offset_eff, self.loop_end)
+            offset_pos = offset_eff * self.buf_rate
+            if step == 1.0 and delta == 0.0 and \
+                    float(offset_pos).is_integer():
+                self.read_mode = "aligned"
+                self.aligned_off = int(offset_pos)
+                self.aligned_pad = rc.block_frames
+                return
         from ..ops.grain_read import pick_group, pick_window
 
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
@@ -171,6 +200,8 @@ class _BufferSourceKernel(Kernel):
     def _read_resources(self) -> dict:
         """Data-derived resources for the amortized read modes (also
         rebuilt by GraphBatch.override_buffer for per-instance audio)."""
+        if self.read_mode == "aligned":
+            return {"data_tiled": self._tiled_data()}
         if self.read_mode.startswith("grouped"):
             from ..ops.grain_read import stage_rows
 
@@ -179,6 +210,23 @@ class _BufferSourceKernel(Kernel):
         if self.read_mode == "window":
             return {"data_ext": self._window_data()}
         return {}
+
+    def _tiled_data(self):
+        """(C, T) layout for the aligned unit-step dynamic_slice fetch.
+        Whole-buffer loops tile the buffer so any slice start in [0, L)
+        covers a full block across the wrap (T = L + P); non-looping
+        sources pad P zeros on BOTH sides so pre-start and post-end
+        block portions read zeros (T = P + L + P), P = the compile-time
+        block size."""
+        C, L = self.data_host.shape
+        P = self.aligned_pad
+        if self.loop:
+            reps = -(-(L + P) // L)
+            return np.tile(self.data_host, (1, reps))[:, :L + P].astype(
+                np.float32, copy=False)
+        out = np.zeros((C, P + L + P), np.float32)
+        out[:, P:P + L] = self.data_host
+        return out
 
     def _window_data(self):
         """(C, L + W + 2) window layout: whole-buffer loops copy the loop
@@ -300,6 +348,8 @@ class _BufferSourceKernel(Kernel):
     def _fetch(self, scope, playhead, valid, unwrapped=None):
         from ..ops.bufread import gather_pairs
 
+        if self.read_mode == "aligned":
+            return self._fetch_aligned(scope, valid)
         if self.win_W:
             return self._fetch_windowed(scope, playhead, valid, unwrapped)
         floored = jnp.floor(playhead)
@@ -322,6 +372,30 @@ class _BufferSourceKernel(Kernel):
                              0.0, edge_c)
             b = jnp.where(beyond[None, :], edge, b)
         out = a * (1.0 - k) + b * k
+        return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
+
+    def _fetch_aligned(self, scope, valid):
+        """Aligned unit-step fetch (see _pick_window): the block's samples
+        are data[(aligned_off + t - start) mod L] (loop) or
+        data[aligned_off + t - start] (one-shot), i.e. ONE contiguous
+        dynamic_slice from the pre-tiled layout (_tiled_data) instead of
+        a per-sample gather.  Pre-start / out-of-range positions read
+        tiled garbage or pad zeros and are masked by `valid` exactly like
+        the gather path."""
+        import jax
+
+        tiled = scope.node_resources["data_tiled"]          # (C, T)
+        B = scope.frames
+        start_i = np.int32(min(self.start_frame, 2**31 - 1))
+        raw = (scope.frame0 - start_i + np.int32(self.aligned_off)
+               ).astype(jnp.int32)
+        if self.loop:
+            s = jnp.mod(raw, np.int32(self.buf_len))
+        else:
+            pad = np.int32(self.aligned_pad)
+            s = jnp.clip(raw, -pad, np.int32(self.buf_len)) + pad
+        out = jax.lax.dynamic_slice(
+            tiled, (jnp.int32(0), s), (tiled.shape[0], B))
         return jnp.where(valid[None, :], out, 0.0).astype(jnp.float32)
 
     def _fetch_windowed(self, scope, playhead, valid, unwrapped):
