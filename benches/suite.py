@@ -121,13 +121,14 @@ def _measure(ctx, seconds, runs=5):
     # the honest throughput number; `value` (depth 5) is kept for
     # round-over-round comparability.
     ss = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(25):
             out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
         _force(lambda: probe(out))
         ss.append(seconds / ((time.perf_counter() - t0) / 25))
-    fields["value_ss25"] = round(max(ss), 1)
+    ss.sort()
+    fields["value_ss25"] = round(ss[len(ss) // 2], 1)   # median, not max
     fields["ss25_runs"] = [round(f, 1) for f in ss]
     return factors[len(factors) // 2], compile_s, fields
 
