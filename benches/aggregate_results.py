@@ -1,17 +1,21 @@
-"""Merge the per-session suite logs (benches/runs_r03/*.jsonl) into the
+"""Merge the per-session suite logs (benches/runs_r{N}/*.jsonl) into the
 committed RESULTS file.
 
 Only `final_*.jsonl` sessions aggregate (identical final code); earlier
-run*.jsonl files are archived intermediates from in-flight optimization
-states.  Each session runs every case in one process
-(benches/run_tpu_r3.py);
+session*.jsonl files are archived intermediates from in-flight
+optimization states.  Each session runs every case in one process
+(benches/run_tpu_r4.py);
 per-case numbers are medians of >=3 fenced trials within the session.
 Sessions drift ±20-60% with remote-service health, so the committed
 value is the MEDIAN across session medians and the artifact carries
 every observed trial (`all_runs`) plus the spread — the number cannot be
-quoted rosier than the range.
+quoted rosier than the range.  `value_ss25` / `all_ss25` aggregate the
+25-deep steady-state trials the same way (r4 protocol: the end-of-trial
+fence costs a fixed ~25-30 ms tunnel readback RTT regardless of depth,
+so the 5-deep `value` carries a ~5 ms/render measurement artifact and
+the deep-pipeline number is the honest on-chip throughput).
 
-Usage: python benches/aggregate_results.py [outfile]
+Usage: python benches/aggregate_results.py [outfile] [runs_dir]
 """
 
 import glob
@@ -24,9 +28,10 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     out_path = sys.argv[1] if len(sys.argv) > 1 else \
         os.path.join(here, "RESULTS_v5e.jsonl")
+    runs_dir = sys.argv[2] if len(sys.argv) > 2 else "runs_r04"
     by_case: dict = {}
     order: list = []
-    s = os.path.join(here, "runs_r03", "final_*.jsonl")
+    s = os.path.join(here, runs_dir, "final_*.jsonl")
     sessions = sorted(glob.glob(s))
     for path in sessions:
         with open(path) as f:
@@ -58,7 +63,13 @@ def main():
         rec["all_runs"] = [round(x, 1) for x in all_runs]
         rec["spread_pct"] = round(
             100.0 * (all_runs[-1] - all_runs[0]) / med, 1) if med else None
+        all_ss = sorted(
+            x for r in recs for x in (r.get("ss25_runs") or []))
+        if all_ss:
+            rec["value_ss25"] = round(all_ss[len(all_ss) // 2], 1)
+            rec["all_ss25"] = [round(x, 1) for x in all_ss]
         rec.pop("runs", None)
+        rec.pop("ss25_runs", None)
         lines.append(json.dumps(rec))
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
