@@ -176,6 +176,34 @@ def test_curve_kernel_v2_interpret_matches_apply_curve():
         np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(n))
 
 
+def test_curve_kernel_v3_interpret_matches_apply_curve():
+    """The tile-aligned wide-row kernel (ops/curve_kernel.py::_kernel_v3)
+    — the TPU DEFAULT since WEBAUDIO_CURVE=auto — vs apply_curve, at the
+    SEG=127 table geometry waveshaper.py stages for it."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.nodes.waveshaper import apply_curve
+    from webaudio_tpu.ops.curve_kernel import curve_lookup_tpu_v3
+
+    rng = np.random.default_rng(41)
+    x = rng.uniform(-1.3, 1.3, size=5000).astype(np.float32)
+    segk = 127
+    for n in (3, 257, 2049):
+        grid = np.linspace(-1, 1, n)
+        curve = np.tanh(2.5 * grid).astype(np.float32)
+        ref = np.asarray(apply_curve(jnp.asarray(curve), jnp.asarray(x)))
+        nseg = -(-n // segk)
+        npad = nseg * segk
+        cpad = np.concatenate([curve, np.broadcast_to(curve[-1],
+                                                      (npad + 1 - n,))])
+        T = np.zeros((nseg, segk + 1), np.float32)
+        T[:, :segk] = cpad[:npad].reshape(nseg, segk)
+        T[:, segk] = cpad[segk::segk][:nseg]
+        got = np.asarray(curve_lookup_tpu_v3(
+            jnp.asarray(x), jnp.asarray(T), n, segk, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(n))
+
+
 def test_curve_modes_match_default():
     """WEBAUDIO_CURVE=major/gather must render identically to the default
     transposed formulation (in-situ A/B prerequisite)."""
