@@ -259,6 +259,12 @@ def test_media_recorder_records_stream():
     data, rate = read_wav(blobs[0])
     assert rate == fs
     np.testing.assert_allclose(data[0], sig[0], atol=1e-6)
+    # stop() after self-finalize is a spec/reference-matching NO-OP
+    # (W3C MediaRecorder stop() step 1; media_recorder/mod.rs:299-302) —
+    # the polling thread already ended when the finite stream drained
+    rec.stop()
+    rec.stop()
+    assert rec.state == "inactive"
 
 
 def test_media_element_controls():

@@ -77,8 +77,15 @@ class MediaRecorder:
         self._thread.start()
 
     def stop(self):
+        # no-op when inactive (W3C MediaRecorder stop() step 1 and the
+        # reference's idempotent stop, media_recorder/mod.rs:299-302) —
+        # the polling thread may have self-finalized already (track end
+        # or error), and racing user code must not blow up
         if not self._recording:
-            raise InvalidStateError("recorder is not started")
+            if self._thread is not None:
+                self._thread.join(timeout=5.0)
+                self._thread = None
+            return
         self._recording = False
         track = self._stream.get_audio_tracks()[0]
         close = getattr(track, "close", None)
