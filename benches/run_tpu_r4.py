@@ -29,8 +29,12 @@ MAIN_CASES = [
     "convolution_reverb", "hrtf_moving", "mastering_chain",
     "stereo_pan_automation", "iir_chain", "delay_network",
     "granular_grains", "granular_grains_800", "batched_graphs",
-    "batched_graphs_1024", "mixed_corpus", "script_processor_probe",
+    "mixed_corpus", "script_processor_probe",
 ]
+# run LAST (after the A/B phase): its 1024-lane remote compile blocked
+# >45 min in session 6 with no exception to catch — a hang there must
+# not cost the rest of the session's data
+TAIL_CASES = ["batched_graphs_1024"]
 AB_CURVE = ["mastering_chain"]
 # Settled A/Bs (re-measure by passing the case name + env by hand):
 #   two_rate_off      (s4: conv 517 vs 924, delay 727 vs 1127)
@@ -185,6 +189,19 @@ def main():
                 suite.main()
             os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
+
+            # aligned-read A/B: the r4 dynamic_slice fast path vs the
+            # pair-gather formulation it replaced, in situ
+            _emit(stage="ab", variant="buf_gather")
+            os.environ["WEBAUDIO_BUF_ALIGNED"] = "0"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":buf_gather"
+            sys.argv = ["suite.py", "buffer_biquad", "iir_chain"]
+            suite.main()
+            os.environ.pop("WEBAUDIO_BUF_ALIGNED", None)
+            os.environ.pop("WEBAUDIO_BENCH_TAG", None)
+
+            sys.argv = ["suite.py"] + TAIL_CASES
+            suite.main()
 
     finally:
         sys.argv = saved_argv
