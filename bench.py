@@ -45,9 +45,30 @@ def build_context():
     return ctx, seconds
 
 
+def _wait_for_backend(max_wait_s=1500):
+    """The tunneled axon backend has transient multi-minute UNAVAILABLE
+    windows (observed 2026-08-17: >2 h outage mid-round).  Retry init for
+    a bounded window before giving up so a momentary blip doesn't zero
+    the round's headline number."""
+    import jax
+
+    t0 = time.time()
+    while True:
+        try:
+            jax.devices()
+            return
+        except Exception as exc:
+            if time.time() - t0 > max_wait_s:
+                raise
+            print(f"# backend unavailable ({type(exc).__name__}); "
+                  f"retrying...", file=sys.stderr, flush=True)
+            time.sleep(60)
+
+
 def main():
     from webaudio_tpu.graph import compiler as C
 
+    _wait_for_backend()
     ctx, seconds = build_context()
 
     cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
