@@ -200,6 +200,18 @@ def main():
             os.environ.pop("WEBAUDIO_BUF_ALIGNED", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
+            # packed Pallas grouped-select candidate (kills the ~1.3 GB
+            # of broadcast intermediates in the XLA select —
+            # SUB1000_ANALYSIS round-4 addendum); opt-in until it wins
+            # this A/B on a healthy session
+            _emit(stage="ab", variant="grain_grouped_pl")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_pl"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_pl"
+            sys.argv = ["suite.py", "granular_grains", "granular_grains_800"]
+            suite.main()
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+            os.environ.pop("WEBAUDIO_BENCH_TAG", None)
+
             sys.argv = ["suite.py"] + TAIL_CASES
             suite.main()
 

@@ -775,6 +775,14 @@ def test_grain_window_read_matches_gather():
         assert act_w > 0, mode  # path actually exercised
         assert np.abs(got_w).max() > 0.01
         np.testing.assert_allclose(got_w, got_g, atol=2e-6, err_msg=mode)
+    # the Pallas packed select computes the same two f32 products per
+    # sample (bit-exact at op level — test_grain_read), but in situ XLA
+    # fuses the envelope multiply into the XLA select's reduce with FMA
+    # contraction, so renders differ by ~1 ulp of association
+    got_t, act_t = render("grouped_t")
+    got_pl, act_pl = render("grouped_pl")
+    assert act_t > 0 and act_pl > 0
+    np.testing.assert_allclose(got_pl, got_t, atol=5e-7)
 
 
 def test_compact_env_matches_dense_rows():

@@ -225,6 +225,40 @@ def test_curve_modes_match_default():
         np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=mode)
 
 
+def test_grouped_pl_kernel_bit_matches_grouped_t():
+    """The packed Pallas grouped-select (ops/grain_read.py::
+    grouped_row_lerp_pl, interpret mode) must reproduce the XLA
+    transposed select bit-for-bit across channel counts, group sizes,
+    row widths, padding remainders, and the loop-wrap path."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.ops.grain_read import (
+        grouped_row_lerp_pl, grouped_row_lerp_t, stage_rows)
+
+    rng = np.random.default_rng(5)
+    for (C, g, w, R, B, wrap) in [(2, 16, 21, 9, 7040, 0),
+                                  (1, 16, 21, 3, 4096, 0),
+                                  (2, 8, 11, 4, 2048, 0),
+                                  (2, 16, 30, 2, 1024, 500),
+                                  (1, 8, 32, 1, 64, 0)]:
+        L = 4000
+        ext = rng.standard_normal((C, L + w + 2)).astype(np.float32)
+        rows_g = jnp.asarray(stage_rows(ext, w))
+        base = rng.integers(0, L - w, size=(R, B // g)).astype(np.int32)
+        step = rng.random((R, B // g)).astype(np.float32) * ((w - 3) / g)
+        offs = np.arange(g, dtype=np.float32)[None, None, :] * \
+            step[:, :, None]
+        pif = base[:, :, None] + offs
+        pi = np.floor(pif).astype(np.int32).reshape(R, B)
+        fr = (pif - np.floor(pif)).astype(np.float32).reshape(R, B)
+        a = np.asarray(grouped_row_lerp_t(
+            rows_g, jnp.asarray(pi), jnp.asarray(fr), g, w, wrap))
+        b = np.asarray(grouped_row_lerp_pl(
+            rows_g, jnp.asarray(pi), jnp.asarray(fr), g, w, wrap,
+            interpret=True))
+        np.testing.assert_array_equal(a, b, err_msg=str((C, g, w, wrap)))
+
+
 def test_curve_auto_mode_cpu_is_xla():
     """Default (auto) curve mode on CPU must take the XLA path bit-exactly
     (the pallas3 probe only fires on tpu/axon backends) — including at

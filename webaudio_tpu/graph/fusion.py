@@ -879,15 +879,19 @@ class _FusedVoicesKernel:
         ratio = self.buf_rate / self.fs
         rmax = float(np.max(np.abs(self.rates))) * ratio
         C = self.data_host.shape[0]
-        if mode in ("auto", "grouped", "grouped_t"):
+        if mode in ("auto", "grouped", "grouped_t", "grouped_pl"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
                 # 'auto' takes the transposed select (sample axis minor —
                 # full 128-lane tiles; the straight (R*S, g, w) layout ran
-                # its fused select at ~w/128 lane utilization)
-                self.read_mode = ("grouped" if mode == "grouped"
-                                  else "grouped_t")
+                # its fused select at ~w/128 lane utilization).
+                # 'grouped_pl' = Pallas packed select (opt-in study mode;
+                # needs C<=2, which pick_group's 32-lane bound implies
+                # only for the row width — check channels here)
+                if mode == "grouped_pl" and C > 2:
+                    mode = "grouped_t"
+                self.read_mode = (mode if mode != "auto" else "grouped_t")
             return
         if mode == "window":
             self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)
@@ -1020,6 +1024,11 @@ class _FusedVoicesKernel:
 
             return grouped_row_lerp_t(data_win, pi, fr, self.win_Qs,
                                       self.win_W)
+        if self.read_mode == "grouped_pl":
+            from ..ops.grain_read import grouped_row_lerp_pl
+
+            return grouped_row_lerp_pl(data_win, pi, fr, self.win_Qs,
+                                       self.win_W)
         if self.read_mode == "grouped":
             from ..ops.grain_read import grouped_row_lerp
 

@@ -165,10 +165,10 @@ class _BufferSourceKernel(Kernel):
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
         if mode == "auto":
             return  # single-voice source: gathers win (see docstring)
-        if mode in ("grouped", "grouped_t"):
+        if mode in ("grouped", "grouped_t", "grouped_pl"):
             g, w = pick_group(rmax, self.buf_channels, self.buf_len,
                               rc.block_frames)
-            if g:
+            if g and not (mode == "grouped_pl" and self.buf_channels > 2):
                 self.win_Qs, self.win_W = g, w
                 self.read_mode = mode
             return
@@ -422,10 +422,12 @@ class _BufferSourceKernel(Kernel):
             wrap_len = 0
         k = (base - fl).astype(jnp.float32)
         if self.read_mode.startswith("grouped"):
-            from ..ops.grain_read import grouped_row_lerp, grouped_row_lerp_t
+            from ..ops.grain_read import (
+                grouped_row_lerp, grouped_row_lerp_pl, grouped_row_lerp_t)
 
-            fn = (grouped_row_lerp_t if self.read_mode == "grouped_t"
-                  else grouped_row_lerp)
+            fn = {"grouped_t": grouped_row_lerp_t,
+                  "grouped_pl": grouped_row_lerp_pl,
+                  "grouped": grouped_row_lerp}[self.read_mode]
             out = fn(
                 scope.node_resources["data_rows_g"], u[None, :],
                 k[None, :], self.win_Qs, self.win_W, wrap_len)[:, 0, :]

@@ -238,6 +238,92 @@ def grouped_row_lerp_t(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     return out.reshape(C, R, B)
 
 
+_MPL = 512   # groups (gathered rows) per grid step in the packed kernel
+
+
+def _kernel_grouped_pl(packed_ref, out_ref, *, g: int, w: int, C: int):
+    """Packed grouped-select kernel: one (M, 128) block carries, per
+    gathered row, ch0 row lanes [0:32], ch1 [64:96], loc (as f32)
+    [32:32+g], frac [48:48+g].  For each of the C*g output columns the
+    two-hot weight (1-fr at lane loc, fr at loc+1 — the same f32 terms
+    as grouped_row_lerp_t, so outputs are BIT-identical) multiplies the
+    32-lane row chunk and lane-reduces — the (w, ..., g) broadcast that
+    costs ~2x667 MB/render in the XLA formulation never leaves VMEM.
+    All operands block-mapped with static index maps — the shape family
+    the remote Mosaic accepts (ops/curve_kernel.py::curve_lookup_tpu_v3)."""
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    pk = packed_ref[...]                                   # (M, 128)
+    lanes32 = jax.lax.broadcasted_iota(
+        jnp.int32, (pk.shape[0], 32), 1).astype(jnp.float32)
+    cols = []
+    for c in range(C):
+        rows_c = pk[:, c * 64:c * 64 + 32]                 # (M, 32)
+        for s in range(g):
+            locf = pk[:, 32 + s][:, None]                  # (M, 1)
+            fr = pk[:, 48 + s][:, None]
+            tw = (jnp.where(lanes32 == locf, one - fr, zero)
+                  + jnp.where(lanes32 == locf + one, fr, zero))
+            cols.append(jnp.sum(rows_c * tw, axis=1, keepdims=True))
+    res = jnp.concatenate(cols, axis=1)                    # (M, C*g)
+    if C * g < 128:
+        res = jnp.concatenate(
+            [res, jnp.zeros((pk.shape[0], 128 - C * g), jnp.float32)],
+            axis=1)
+    out_ref[...] = res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "w", "wrap_len", "interpret"))
+def grouped_row_lerp_pl(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
+                        interpret: bool = False):
+    """Pallas variant of grouped_row_lerp_t (same contract, bit-identical
+    outputs: each output is the same two products in the same f32 adds).
+    Requires C <= 2, g <= 16, w <= 32 (pick_group guarantees g/w).
+    Opt-in study mode (WEBAUDIO_GRAIN_READ=grouped_pl) — the XLA
+    formulation's two ~(w, C, R*B) broadcast intermediates dominate the
+    high-density granular case's HBM traffic (benches/SUB1000_ANALYSIS.md
+    round-4 addendum)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # CPU (test) backends run the kernel in interpret mode so the render
+    # A/B works everywhere; TPU backends compile it
+    interpret = interpret or jax.devices()[0].platform not in ("tpu", "axon")
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    assert C <= 2 and g <= 16 and w <= 32, (C, g, w)
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                      # (R*S, C, w)
+
+    RS = R * S
+    RSp = ((RS + _MPL - 1) // _MPL) * _MPL
+    packed = jnp.zeros((RSp, 128), jnp.float32)
+    for c in range(C):
+        packed = packed.at[:RS, c * 64:c * 64 + w].set(rows[:, c, :])
+    packed = packed.at[:RS, 32:32 + g].set(loc.astype(jnp.float32))
+    packed = packed.at[:RS, 48:48 + g].set(frq)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped_pl, g=g, w=w, C=C),
+        out_shape=jax.ShapeDtypeStruct((RSp, 128), jnp.float32),
+        grid=(RSp // _MPL,),
+        in_specs=[pl.BlockSpec((_MPL, 128), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_MPL, 128), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed)
+    res = out[:RS, :C * g].reshape(RS, C, g)
+    return jnp.transpose(res, (1, 0, 2)).reshape(C, R, B)
+
+
 def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
     group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
