@@ -99,6 +99,33 @@ def test_aligned_eligibility():
         os.environ.pop("WEBAUDIO_BUF_ALIGNED", None)
 
 
+@pytest.mark.parametrize("loop", [True, False])
+def test_aligned_across_suspend_retrace(loop):
+    """A suspend_sync re-trace restarts the compiled segment at a nonzero
+    start_frame; the aligned slice (global frame0 math) must continue the
+    stream bit-exactly vs an uninterrupted render."""
+    def build(suspend):
+        rng = np.random.default_rng(11)
+        ctx = wa.OfflineAudioContext(2, int(FS), FS)
+        L = 7919 if loop else 30000
+        buf = ctx.create_buffer(2, L, FS)
+        for c in range(2):
+            buf.copy_to_channel(rng.standard_normal(L).astype(np.float32), c)
+        src = ctx.create_buffer_source(loop=loop)
+        src.buffer = buf
+        src.connect(ctx.destination)
+        if loop:
+            src.start()
+        else:
+            src.start(0.1, 0.05)
+        if suspend:
+            ctx.suspend_sync(0.37, lambda c: None)
+        out = ctx.start_rendering_sync()
+        return np.stack([out.get_channel_data(c) for c in range(2)])
+
+    np.testing.assert_array_equal(build(False), build(True))
+
+
 def test_aligned_graph_batch_override_buffer():
     """override_buffer must restage the tiled layout per instance so each
     lane plays its own audio through the aligned path."""
