@@ -29,7 +29,10 @@ def normalize_buffer_scale(buffer: AudioBuffer) -> float:
     min_power = 0.000125
     data = buffer.to_array()
     power = np.float32(np.sum(data.astype(np.float32) ** 2))
-    power = np.sqrt(power / np.float32(data.size))
+    if data.size:
+        power = np.sqrt(power / np.float32(data.size))
+    else:
+        power = np.float32(0.0)  # zero-length IR -> min_power clamp
     if not np.isfinite(power) or power < min_power:
         power = np.float32(min_power)
     scale = 1.0 / power
