@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import NotSupportedError, InvalidStateError
+from ..constants import (NotSupportedError, InvalidStateError,
+                         InvalidAccessError)
 from ..graph.compiler import Kernel
 from ..ops import fft_conv, recurrence
 from .audio_node import AudioNode, AudioNodeOptions
@@ -71,6 +72,11 @@ class IIRFilterNode(AudioNode):
 
     def get_frequency_response(self, frequency_hz, mag_response, phase_response):
         """reference: iir_filter.rs:221-265."""
+        if not (len(frequency_hz) == len(mag_response)
+                == len(phase_response)):
+            raise InvalidAccessError(
+                "frequency_hz, mag_response and phase_response must have "
+                "the same length")
         fs = self.context.sample_rate
         freqs = np.asarray(frequency_hz, dtype=np.float64)
         valid = (freqs >= 0) & (freqs <= fs / 2)
