@@ -75,8 +75,7 @@ class AnalyserNode(AudioNode):
         self.set_fft_size(fft_size)
         self._min_decibels = DEFAULT_MIN_DECIBELS
         self._max_decibels = DEFAULT_MAX_DECIBELS
-        self.set_min_decibels(min_decibels)
-        self.set_max_decibels(max_decibels)
+        self.set_decibels(min_decibels, max_decibels)
         self._smoothing = 0.0
         self.set_smoothing_time_constant(smoothing_time_constant)
         self._ring = np.zeros(MAX_FFT_SIZE, np.float32)
@@ -106,6 +105,14 @@ class AnalyserNode(AudioNode):
     @property
     def frequency_bin_count(self) -> int:
         return self._fft_size // 2
+
+    def set_decibels(self, min_db: float, max_db: float):
+        """Set both bounds together so a valid pair is never rejected by an
+        invalid intermediate combination (reference: analysis.rs:244-250)."""
+        if not min_db < max_db:
+            raise IndexSizeError("min decibels must be < max decibels")
+        self._min_decibels = float(min_db)
+        self._max_decibels = float(max_db)
 
     @property
     def min_decibels(self) -> float:
