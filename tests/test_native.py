@@ -32,12 +32,13 @@ def test_native_resample_matches_numpy():
     rng = np.random.RandomState(1)
     x = rng.randn(2, 1000).astype(np.float32)
     ratio = 48000.0 / 44100.0
-    n_out = int(round(1000 * ratio))
+    n_out = int(np.ceil(1000 * ratio))
     native = resample_linear_native(x, ratio, n_out)
     assert native is not None
-    pos = np.arange(n_out, dtype=np.float64) / ratio
-    k = np.floor(pos).astype(np.int64)
-    frac = (pos - k).astype(np.float32)
+    # endpoint-preserving mapping (reference: buffer.rs:311-363)
+    playhead = np.arange(n_out, dtype=np.float64) / (n_out - 1) * 999
+    k = np.floor(playhead).astype(np.int64)
+    frac = (playhead - k).astype(np.float32)
     k1 = np.minimum(k + 1, 999)
     k = np.minimum(k, 999)
     expected = x[:, k] * (1 - frac) + x[:, k1] * frac

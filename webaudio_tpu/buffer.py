@@ -99,19 +99,28 @@ class AudioBuffer:
         return self._data
 
     def resample(self, sample_rate: float) -> None:
-        """In-place linear-interpolation resample (reference: buffer.rs:311-363)."""
+        """In-place linear-interpolation resample (reference: buffer.rs:311-363).
+
+        Matches the reference exactly: very-close rates (|delta| <= 0.1 Hz)
+        and zero-length buffers only relabel the rate; otherwise the new
+        length is ceil(length * ratio) and the interpolation is
+        endpoint-preserving (position i/(new-1) in [0,1] scaled to
+        [0, length-1]), keeping the first and last samples intact."""
         assert_valid_sample_rate(sample_rate)
-        if sample_rate == self._sample_rate:
+        if abs(sample_rate - self._sample_rate) <= 0.1 or self.length == 0:
+            self._sample_rate = float(sample_rate)
             return
         rate = sample_rate / self._sample_rate
-        new_len = int(round(self.length * rate))
+        new_len = int(np.ceil(self.length * float(rate)))
         from .native import resample_linear_native
 
         out = resample_linear_native(self._data, rate, new_len)
         if out is None:  # numpy fallback
-            pos = np.arange(new_len, dtype=np.float64) / rate
-            k = np.floor(pos).astype(np.int64)
-            frac = (pos - k).astype(np.float32)
+            position = (np.arange(new_len, dtype=np.float64) / (new_len - 1)
+                        if new_len > 1 else np.zeros(1, np.float64))
+            playhead = position * (self.length - 1)
+            k = np.floor(playhead).astype(np.int64)
+            frac = (playhead - k).astype(np.float32)
             k1 = np.minimum(k + 1, self.length - 1)
             d = self._data
             out = (d[:, k] * (1.0 - frac) + d[:, k1] * frac).astype(np.float32)

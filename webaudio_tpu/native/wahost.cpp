@@ -145,17 +145,22 @@ int wah_wav_decode(const uint8_t* data, uint64_t len, float* out) {
 void wah_resample_linear(const float* in, uint32_t channels,
                          uint64_t in_frames, float* out,
                          uint64_t out_frames, double ratio /* out/in rate */) {
+    // endpoint-preserving mapping: position i/(out-1) in [0,1] scaled to
+    // [0, in-1], first and last samples intact (reference: buffer.rs:311-363)
+    (void)ratio;
     for (uint32_t c = 0; c < channels; ++c) {
         const float* src = in + c * in_frames;
         float* dst = out + c * out_frames;
         for (uint64_t i = 0; i < out_frames; ++i) {
-            double pos = (double)i / ratio;
-            uint64_t k = (uint64_t)pos;
+            double position = out_frames > 1
+                ? (double)i / (double)(out_frames - 1) : 0.0;
+            double playhead = position * (double)(in_frames - 1);
+            uint64_t k = (uint64_t)playhead;
             if (k >= in_frames - 1) {
                 dst[i] = src[in_frames - 1];
                 continue;
             }
-            float frac = (float)(pos - (double)k);
+            float frac = (float)(playhead - (double)k);
             dst[i] = src[k] * (1.0f - frac) + src[k + 1] * frac;
         }
     }
