@@ -146,7 +146,12 @@ class BaseAudioContext:
     def _set_state(self, state: AudioContextState):
         if state != self._state:
             self._state = state
-            self._dispatch_event("statechange")
+            # handlers receive an Event payload like the reference's
+            # onstatechange(Event {type: "statechange"}) (concrete_base.rs)
+            from ..events import EventDispatch, EventType
+
+            self._dispatch_event(
+                "statechange", EventDispatch(type=EventType.STATE_CHANGE))
 
     # --- assets -------------------------------------------------------------
     def create_buffer(self, number_of_channels: int, length: int,

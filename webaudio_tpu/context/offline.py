@@ -47,8 +47,13 @@ class OfflineAudioContext(BaseAudioContext):
     def length(self) -> int:
         return self._length
 
-    def oncomplete(self, cb: Callable):
+    def set_oncomplete(self, cb: Callable):
+        """cb receives an OfflineAudioCompletionEvent with .rendered_buffer
+        (reference: offline.rs:404-422)."""
         self._add_event_handler("complete", cb)
+
+    # older name kept as an alias
+    oncomplete = set_oncomplete
 
     def clear_oncomplete(self):
         """reference: offline.rs clear_oncomplete."""
@@ -147,7 +152,9 @@ class OfflineAudioContext(BaseAudioContext):
 
         self._set_state(AudioContextState.CLOSED)
         buffer = AudioBuffer.from_array(out, fs)
-        self._dispatch_event("complete", buffer)
+        from ..events import OfflineAudioCompletionEvent
+
+        self._dispatch_event("complete", OfflineAudioCompletionEvent(buffer))
         return buffer
 
     # --- promise-style variants (reference: offline.rs:198-251, 394) -------

@@ -41,6 +41,13 @@ class EventDispatch:
     callback: Optional[Callable] = None  # direct one-shot target
 
 
+class OfflineAudioCompletionEvent:
+    """reference: src/events.rs:74-80"""
+
+    def __init__(self, rendered_buffer):
+        self.rendered_buffer = rendered_buffer
+
+
 class ErrorEvent:
     """reference: src/render/processor.rs:77-103"""
 
