@@ -136,6 +136,10 @@ class AudioWorkletNode(AudioNode):
                 "number_of_inputs and number_of_outputs cannot both be zero")
         self._number_of_inputs = int(number_of_inputs)
         self._number_of_outputs = int(number_of_outputs)
+        if output_channel_count is not None and len(output_channel_count) == 0:
+            # [spec]/reference: an empty sequence means "not specified"
+            # (worklet.rs test_worklet_output_channel_count options1)
+            output_channel_count = None
         if output_channel_count is not None:
             if len(output_channel_count) != number_of_outputs:
                 raise IndexSizeError(
