@@ -84,3 +84,8 @@ class InvalidAccessError(WebAudioError):
 
 class RangeError(WebAudioError):
     pass
+
+
+class NotFoundError(WebAudioError):
+    """Unknown sink/device id (reference: media_devices enumeration,
+    online.rs test_try_new_invalid_sink_id)."""

@@ -82,16 +82,22 @@ class BaseAudioContext:
                 return True
             return False
 
-        self._edges = [e for e in self._edges if keep(e)]
+        kept = [e for e in self._edges if keep(e)]
+        removed = len(kept) != len(self._edges)
+        self._edges = kept
         self._invalidate_graph_cache()
+        return removed
 
     def _disconnect_param(self, src: int, output: Optional[int],
                           dst: int, param: str):
-        self._edges = [
+        kept = [
             e for e in self._edges
             if not (e.src == src and e.dst == dst and e.param == param
                     and (output is None or e.src_output == output))]
+        removed = len(kept) != len(self._edges)
+        self._edges = kept
         self._invalidate_graph_cache()
+        return removed
 
     def _invalidate_graph_cache(self):
         self._graph_version += 1

@@ -153,4 +153,6 @@ def build_backend(sink_id, channels: int, sample_rate: float) -> AudioBackend:
         if device is not None and device.isdigit():
             device = int(device)
         return SoundDeviceBackend(channels, sample_rate, device=device)
-    raise ValueError(f"unknown sink id {sink_id!r} (NotFoundError)")
+    from .constants import NotFoundError
+
+    raise NotFoundError(f"Invalid sinkId: {sink_id!r}")

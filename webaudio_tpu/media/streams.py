@@ -29,6 +29,12 @@ class MediaStreamTrack:
         self._lock = threading.Lock()
         self._iter = iter(chunks)
         self._ended = False
+        # broadcast state for multi-consumer iter(): a lagging consumer
+        # catches up to the LATEST chunk, skipping missed ones
+        # (reference: media_streams/mod.rs arc-swap slots,
+        # test_lazy_multiple_consumers)
+        self._seq = 0
+        self._latest = None
 
     @classmethod
     def from_iterator(cls, it: Iterable, label: str = "") -> "MediaStreamTrack":
@@ -59,15 +65,59 @@ class MediaStreamTrack:
             except StopIteration:
                 self._ended = True
                 return None
+            self._seq += 1
+            self._latest = chunk
             if isinstance(chunk, Exception):
                 # fallible chunks surface as errors but don't end the track
                 # (reference: FallibleBuffer)
                 raise chunk
             return chunk
 
+    def iter(self) -> "_TrackIterator":
+        """A consumer cursor over the shared stream.  Multiple consumers
+        share one underlying iterator; one that falls behind receives the
+        most recent chunk and skips the rest (reference:
+        media_streams/mod.rs test_lazy_multiple_consumers)."""
+        return _TrackIterator(self)
+
+    def __iter__(self):
+        return self.iter()
+
     def close(self):
         with self._lock:
             self._ended = True
+
+
+class _TrackIterator:
+    def __init__(self, track: MediaStreamTrack):
+        self._track = track
+        self._seen = track._seq
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> AudioBuffer:
+        t = self._track
+        with t._lock:
+            if t._seq > self._seen:
+                # catch up to the newest chunk the stream has produced
+                self._seen = t._seq
+                chunk = t._latest
+                if isinstance(chunk, Exception):
+                    raise chunk
+                return chunk
+        chunk = t.next_chunk()
+        self._seen = t._seq
+        if chunk is None:
+            raise StopIteration
+        return chunk
+
+    # convenience for transcribed tests: None at end instead of raising
+    def next(self) -> Optional[AudioBuffer]:
+        try:
+            return self.__next__()
+        except StopIteration:
+            return None
 
 
 class MediaStream:

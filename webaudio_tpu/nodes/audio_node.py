@@ -147,8 +147,14 @@ class AudioNode:
     def disconnect(self, destination=None, output: Optional[int] = None,
                    input: Optional[int] = None):
         if destination is not None and isinstance(destination, AudioParam):
-            self.context._disconnect_param(
+            removed = self.context._disconnect_param(
                 self.node_id, output, destination._node.node_id, destination.name)
+            if not removed:
+                # [spec]/reference: targeted disconnect of a connection
+                # that does not exist throws (concrete_base.rs
+                # test_disconnect_not_existing)
+                raise InvalidAccessError(
+                    "the given destination param is not connected")
             return
         dst_id = destination.node_id if destination is not None else None
         if destination is not None and destination.context is not self.context:
@@ -158,7 +164,9 @@ class AudioNode:
         if (input is not None and destination is not None
                 and input >= destination.number_of_inputs):
             raise IndexSizeError(f"input port {input} is out of bounds")
-        self.context._disconnect(self.node_id, output, dst_id, input)
+        removed = self.context._disconnect(self.node_id, output, dst_id, input)
+        if destination is not None and not removed:
+            raise InvalidAccessError("the given destination is not connected")
 
     # --- engine hooks --------------------------------------------------------
     @property

@@ -42,9 +42,9 @@ class AudioScheduledSourceNode(AudioNode):
         if not self._start_called:
             raise InvalidStateError(
                 "Cannot call `stop` without calling `start` first")
-        if self._stop_called:
-            raise InvalidStateError("Cannot call `stop` twice")
         assert_valid_time_value(when)
+        # repeated stop() is allowed and reschedules (reference:
+        # scheduled_source.rs run_stop_twice, upstream issue #579)
         self._stop_called = True
         self._stop_time = float(when)
         self.context._invalidate_graph_cache()

@@ -30,6 +30,7 @@ class AudioStats:
         self.latency_min_ns = None
         self.latency_max_ns = 0
         self.latency_sum_ns = 0
+        self.latency_count = 0
 
     def record_render_callback(self, duration_s: float, budget_s: float):
         """reference: stats.rs:67-98."""
@@ -48,6 +49,7 @@ class AudioStats:
                 min(self.latency_min_ns, d)
             self.latency_max_ns = max(self.latency_max_ns, d)
             self.latency_sum_ns += d
+            self.latency_count += 1
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -60,7 +62,20 @@ class AudioStats:
                 "underrun_ratio": self.underruns / cb,
                 "mean_callback_seconds": self.latency_sum_ns / cb / 1e9,
                 "max_callback_seconds": self.latency_max_ns / 1e9,
+                "underrun_seconds": self.underrun_ns / 1e9,
+                "average_latency_seconds": (
+                    self.latency_sum_ns / max(self.latency_count, 1) / 1e9),
+                "minimum_latency_seconds": (self.latency_min_ns or 0) / 1e9,
+                "maximum_latency_seconds": self.latency_max_ns / 1e9,
             }
+
+    def reset_latency(self):
+        """reference: stats.rs reset_latency (playback_stats.rs:92-94)."""
+        with self._lock:
+            self.latency_min_ns = None
+            self.latency_max_ns = 0
+            self.latency_sum_ns = 0
+            self.latency_count = 0
 
     def reset_interval(self):
         with self._lock:
@@ -155,3 +170,28 @@ class AudioPlaybackStats:
     @property
     def total_frames_duration(self) -> float:
         return self._snapshot()["callbacks"] * 128 / self._sample_rate
+
+    # --- latency interval (reference: playback_stats.rs:73-94) -----------
+    @property
+    def average_latency(self) -> float:
+        return self._snapshot()["average_latency_seconds"]
+
+    @property
+    def minimum_latency(self) -> float:
+        return self._snapshot()["minimum_latency_seconds"]
+
+    @property
+    def maximum_latency(self) -> float:
+        return self._snapshot()["maximum_latency_seconds"]
+
+    def reset_latency(self):
+        self._stats.reset_latency()
+        self._cache = None  # re-read on next access
+
+    def to_json(self) -> dict:
+        """Plain snapshot (reference: playback_stats.rs to_json)."""
+        s = dict(self._snapshot())
+        s["underrun_duration"] = s["underrun_seconds"]
+        s["underrun_events"] = s["underruns"]
+        s["total_duration"] = self.total_frames_duration
+        return s
