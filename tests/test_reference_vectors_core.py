@@ -174,3 +174,11 @@ def test_invalid_time_value_negative():
 def test_valid_time_value():
     assert_valid_time_value(0.0)
     assert_valid_time_value(1.0)
+
+
+def test_context_equals():
+    """reference: context/mod.rs test_context_equals — a node's .context
+    is the context that created it (the Send/Sync trait assertions in the
+    same mod are Rust-specific and moot in Python)."""
+    ctx = OfflineAudioContext(1, 48000, 96000.0)
+    assert ctx.destination.context is ctx
