@@ -132,10 +132,19 @@ class _OracleGraph:
         return acc.astype(np.float32)
 
 
-def _build_random_pair(seed: int):
+def _build_random_pair(seed: int, ctx=None, offset_frames: int = 0):
+    """Build (context, oracle) for one random graph.
+
+    ctx/offset_frames let other driver tests (online loop, RenderSession)
+    mount the same graph on a different context with every schedule and
+    automation event shifted by offset_frames; the oracle stays at t=0, so
+    the caller compares engine output from offset_frames onward.
+    """
     rng = np.random.RandomState(seed)
     length = int(rng.randint(900, 6000))
-    ctx = OfflineAudioContext(1, length, FS)
+    if ctx is None:
+        ctx = OfflineAudioContext(1, length, FS)
+    off_t = offset_frames / FS
     oracle = _OracleGraph(length)
 
     def rand_events(base, hi):
@@ -151,12 +160,19 @@ def _build_random_pair(seed: int):
             t_prev = f
         return events
 
-    def apply_events(param, events):
+    def apply_events(param, base, events):
+        if not events:
+            return
+        # explicit anchor at the (shifted) origin: without it, a leading
+        # ramp would anchor at the context's absolute t=0 instead of the
+        # graph's shifted origin (the oracle's implicit (0, initial)
+        # anchor); value == intrinsic, so at offset 0 it is a no-op
+        param.set_value_at_time(base, off_t)
         for kind, t, v in events:
             if kind == "set":
-                param.set_value_at_time(v, t)
+                param.set_value_at_time(v, t + off_t)
             else:
-                param.linear_ramp_to_value_at_time(v, t)
+                param.linear_ramp_to_value_at_time(v, t + off_t)
 
     n_src = rng.randint(2, 6)
     chains = []               # (engine tail node, oracle tail id)
@@ -168,7 +184,7 @@ def _build_random_pair(seed: int):
             offset = float(rng.uniform(-1.0, 1.0))
             src = ctx.create_constant_source(offset=offset)
             events = rand_events(offset, 1.0)
-            apply_events(src.offset, events)
+            apply_events(src.offset, offset, events)
             oracle.specs.append(("const", {
                 "offset": offset, "events": events,
                 "start_frame": sf, "stop_frame": min(stopf, length),
@@ -181,9 +197,9 @@ def _build_random_pair(seed: int):
                 "start_frame": sf, "stop_frame": min(stopf, length),
             }, [], []))
         oid = len(oracle.specs) - 1
-        src.start(_frame_time(sf))
+        src.start(_frame_time(sf) + off_t)
         if stopf <= length + 200:
-            src.stop(_frame_time(stopf))
+            src.stop(_frame_time(stopf) + off_t)
 
         node, tail = src, oid
         for _ in range(rng.randint(0, 3)):
@@ -191,7 +207,7 @@ def _build_random_pair(seed: int):
                 g0 = float(rng.uniform(0.1, 1.2))
                 g = ctx.create_gain(gain=g0)
                 events = rand_events(g0, 1.5)
-                apply_events(g.gain, events)
+                apply_events(g.gain, g0, events)
                 oracle.specs.append(("gain", {"gain": g0, "events": events},
                                      [tail], []))
             else:
