@@ -1,0 +1,175 @@
+"""Round-5 TPU profiling: where do the last two sub-1000x cases spend?
+
+Run alone on the TPU (single-client backend!):
+
+    python benches/profile_r5.py [section ...]
+
+Sections: mastering, granular.  Uses 25-deep pipelining so the fixed
+~25 ms end-of-trial fence RTT (dispatch_floor probe, r4) contributes
+<1.1 ms/render — the r3/r4 profiles ran 5-deep and carried ~5 ms of
+artifact in every ablation, which is the same order as the effects being
+isolated.  Prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import suite  # noqa: E402
+
+
+def _emit(**kw):
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in kw.items()}), flush=True)
+
+
+def _time_graph(ctx, seconds, depth=25, trials=3):
+    import jax
+    import jax.numpy as jnp
+    from webaudio_tpu.graph import compiler as C
+
+    probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+    cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges), ctx.sample_rate,
+                         ctx.length, ctx._destination.node_id)
+    t0 = time.perf_counter()
+    out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+    peak = suite._force(lambda: probe(out))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(peak), "NaN render"
+    walls = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(depth):
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        suite._force(lambda: probe(out))
+        walls.append((time.perf_counter() - t0) / depth)
+    walls.sort()
+    wall = walls[1]
+    return seconds / wall, compile_s, wall, [w * 1e3 for w in walls]
+
+
+def section_mastering():
+    """Stage-by-stage ablation of the mastering chain, post-pallas3.
+
+    The r4 session-4 profile predates the fused curve kernel; this
+    isolates the CURRENT residual: compressor vs 4x shaper vs analyser
+    vs the bare source, all at 25-deep."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 48000.0, 10.0
+
+    def base_ctx():
+        ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+        buf = ctx.decode_audio_data_sync(
+            os.path.join(suite.SAMPLES, "sample.wav"))
+        src = ctx.create_buffer_source(loop=True)
+        src.buffer = buf
+        src.start()
+        return ctx, src
+
+    def run(variant, build):
+        ctx, src = base_ctx()
+        tail = build(ctx, src)
+        tail.connect(ctx.destination)
+        rtf, cs, wall, walls = _time_graph(ctx, seconds)
+        _emit(section="mastering", variant=variant, rtf=rtf,
+              wall_ms=wall * 1e3, walls_ms=walls, compile_s=cs)
+        return wall
+
+    def full(ctx, src):
+        shaper = ctx.create_wave_shaper(oversample="4x")
+        shaper.set_curve(np.tanh(np.linspace(-2, 2, 2048)).astype(np.float32))
+        comp = ctx.create_dynamics_compressor(threshold=-18.0, ratio=4.0)
+        anal = ctx.create_analyser(fft_size=2048)
+        src.connect(shaper)
+        shaper.connect(comp)
+        comp.connect(anal)
+        return anal
+
+    def bare(ctx, src):
+        return src
+
+    def shaper_only(factor):
+        def build(ctx, src):
+            shaper = ctx.create_wave_shaper(oversample=factor)
+            shaper.set_curve(
+                np.tanh(np.linspace(-2, 2, 2048)).astype(np.float32))
+            src.connect(shaper)
+            return shaper
+        return build
+
+    def comp_only(ctx, src):
+        comp = ctx.create_dynamics_compressor(threshold=-18.0, ratio=4.0)
+        src.connect(comp)
+        return comp
+
+    def anal_only(ctx, src):
+        anal = ctx.create_analyser(fft_size=2048)
+        src.connect(anal)
+        return anal
+
+    run("full", full)
+    run("bare_src", bare)
+    run("shaper4x_only", shaper_only("4x"))
+    run("shaper2x_only", shaper_only("2x"))
+    run("shaper1x_only", shaper_only("none"))
+    run("comp_only", comp_only)
+    run("anal_only", anal_only)
+
+
+def section_granular():
+    """Grain-read formulation A/B at both densities: grouped_t (default),
+    grouped_pl (Pallas packed select), g=8 narrow rows (43% less select
+    traffic, 2x descriptors)."""
+    variants = [
+        ("grouped_t", {}),
+        ("grouped_pl", {"WEBAUDIO_GRAIN_READ": "grouped_pl"}),
+        ("group8", {"WEBAUDIO_GRAIN_GROUP": "8"}),
+        ("group8_pl", {"WEBAUDIO_GRAIN_GROUP": "8",
+                       "WEBAUDIO_GRAIN_READ": "grouped_pl"}),
+    ]
+    for n in (400, 800):
+        for name, env in variants:
+            saved = {}
+            for k, v in env.items():
+                saved[k] = os.environ.get(k)
+                os.environ[k] = v
+            try:
+                ctx, seconds = suite.case_granular_grains(n)
+                rtf, cs, wall, walls = _time_graph(ctx, seconds)
+                _emit(section="granular", grains=n, variant=name, rtf=rtf,
+                      wall_ms=wall * 1e3, walls_ms=walls, compile_s=cs)
+            except Exception as exc:
+                _emit(section="granular", grains=n, variant=name,
+                      error=f"{type(exc).__name__}: {exc}"[:300])
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+
+
+SECTIONS = {"mastering": section_mastering, "granular": section_granular}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jax.jit(lambda a: (jnp.sin(a) * a).sum())(
+        jnp.arange(128, dtype=jnp.float32)))
+    _emit(stage="warmup", cold_start_s=round(time.perf_counter() - t0, 1))
+    for name in (sys.argv[1:] or list(SECTIONS)):
+        SECTIONS[name]()
+
+
+if __name__ == "__main__":
+    main()

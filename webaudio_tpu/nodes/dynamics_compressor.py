@@ -94,8 +94,20 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
         changed = jnp.any(newpat != pat)
         return solve(taus(newpat)), newpat, changed, i + 1
 
-    y, _, _, _ = jax.lax.while_loop(
+    y, _, changed, _ = jax.lax.while_loop(
         cond, body, (y, pat0, jnp.bool_(True), 0))
+    # `changed` still true at exit = the branch pattern never stabilized
+    # within max_iters — possible when attack_tau == 0 (an attack step
+    # RESETS y = x, so one mispredicted branch re-seeds everything after
+    # it and the pattern front can crawl forward one flip per iteration;
+    # caught by the r5 spatial/dynamics graph fuzz at 2.7 dB error).
+    # Fall back to the exact sequential recurrence for this block: the
+    # cond branch costs nothing when converged, which is every
+    # spec-typical input.
+    y = jax.lax.cond(
+        changed,
+        lambda: _detector_sequential(y064, x64, at64, rt64),
+        lambda: y)
     return y.astype(jnp.float32)
 
 
@@ -180,8 +192,17 @@ def _detector_fixed_point_chunked(y0, x, a: float, r: float,
         changed = jnp.any(newpat != pat)
         return solve(jnp.pad(newpat, (0, pad))), newpat, changed, i + 1
 
-    y, _, _, _ = jax.lax.while_loop(
+    y, _, changed, _ = jax.lax.while_loop(
         cond, body, (y, pat0, jnp.bool_(True), 0))
+    # non-convergence fallback, same as _detector_fixed_point (the
+    # chunked guard excludes a==0, but r==0 or adversarial inputs can
+    # still cascade the pattern front past max_iters)
+    y = jax.lax.cond(
+        changed,
+        lambda: _detector_sequential(
+            y0.astype(jnp.float32), x,
+            jnp.full(B, af, jnp.float32), jnp.full(B, rf, jnp.float32)),
+        lambda: y)
     return y
 
 

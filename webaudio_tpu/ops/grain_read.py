@@ -185,8 +185,16 @@ def pick_window(rmax: float, block_frames: int):
 
 def pick_group(rmax: float, C: int, L: int, block_frames: int):
     """(g, w) grouped-row geometry, or (0, 0) when ineligible.  Bounds:
-    row width w <= 32 lanes and the staged row matrix <= 128 MB."""
-    for g in (16, 8):
+    row width w <= 32 lanes and the staged row matrix <= 128 MB.
+
+    WEBAUDIO_GRAIN_GROUP forces the group size: the XLA select's HBM
+    traffic scales with w ~= g*rmax (two (w, C, s_tot) broadcast
+    intermediates), so g=8 trades 2x gather descriptors for ~43% less
+    select traffic — an in-situ A/B knob (benches/run_tpu_r5.py)."""
+    import os
+
+    forced = int(os.environ.get("WEBAUDIO_GRAIN_GROUP", "0"))
+    for g in ((forced,) if forced else (16, 8)):
         if block_frames % g:
             continue
         w = int(np.ceil(g * rmax)) + 3
