@@ -156,7 +156,66 @@ def section_granular():
                         os.environ[k] = v
 
 
-SECTIONS = {"mastering": section_mastering, "granular": section_granular}
+def section_reverb():
+    """Isolate the convolution-reverb residual: the acyclic part alone
+    (convolver, no feedback branch), the cycle alone (delay+gain, no
+    convolver), and the full graph under each cycle-compilation mode."""
+    import webaudio_tpu as wa
+
+    fs, seconds = 44100.0, 10.0
+
+    def build(with_verb=True, with_cycle=True):
+        ctx = wa.OfflineAudioContext(2, int(fs * seconds), fs)
+        dry = ctx.decode_audio_data_sync(
+            os.path.join(suite.SAMPLES, "sample.wav"))
+        src = ctx.create_buffer_source(loop=True)
+        src.buffer = dry
+        src.start()
+        if with_verb:
+            ir = ctx.decode_audio_data_sync(
+                os.path.join(suite.SAMPLES, "parking-garage-response.wav"))
+            verb = ctx.create_convolver()
+            verb.set_buffer(ir)
+            src.connect(verb)
+            verb.connect(ctx.destination)
+        if with_cycle:
+            d = ctx.create_delay(max_delay_time=1.0)
+            d.delay_time.value = 0.31
+            fb = ctx.create_gain(gain=0.4)
+            src.connect(d)
+            d.connect(fb)
+            fb.connect(d)
+            fb.connect(ctx.destination)
+        return ctx
+
+    for variant, env, kw in (
+            ("full", {}, {}),
+            ("acyclic_only", {}, {"with_cycle": False}),
+            ("cycle_only", {}, {"with_verb": False}),
+            ("full_flat", {"WEBAUDIO_TWO_RATE": "0"}, {}),
+            ("full_legacy_inner", {"WEBAUDIO_INNER_FAST": "0"}, {})):
+        saved = {}
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            ctx = build(**kw)
+            rtf, cs, wall, walls = _time_graph(ctx, seconds)
+            _emit(section="reverb", variant=variant, rtf=rtf,
+                  wall_ms=wall * 1e3, walls_ms=walls, compile_s=cs)
+        except Exception as exc:
+            _emit(section="reverb", variant=variant,
+                  error=f"{type(exc).__name__}: {exc}"[:300])
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+
+SECTIONS = {"mastering": section_mastering, "granular": section_granular,
+            "reverb": section_reverb}
 
 
 def main():
