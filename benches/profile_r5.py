@@ -122,6 +122,29 @@ def section_mastering():
     run("comp_only", comp_only)
     run("anal_only", anal_only)
 
+    # micro-ablations (measurement-only env flags, WRONG output):
+    # isolate the analyser ring capture and the detector's fixed-point
+    # iteration latency inside the full chain
+    for variant, env in (
+            ("full_no_ring", {"WEBAUDIO_ABLATE_ANALYSER_RING": "1"}),
+            ("full_det2", {"WEBAUDIO_DETECTOR_MAX_ITERS": "2"}),
+            ("full_no_ring_det2", {"WEBAUDIO_ABLATE_ANALYSER_RING": "1",
+                                   "WEBAUDIO_DETECTOR_MAX_ITERS": "2"}),
+            ("anal_only_no_ring", {"WEBAUDIO_ABLATE_ANALYSER_RING": "1"})):
+        saved = {}
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            build = anal_only if variant.startswith("anal") else full
+            run(variant, build)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
 
 def section_granular():
     """Grain-read formulation A/B at both densities: grouped_t (default),
@@ -129,10 +152,9 @@ def section_granular():
     traffic, 2x descriptors)."""
     variants = [
         ("grouped_t", {}),
-        ("grouped_pl", {"WEBAUDIO_GRAIN_READ": "grouped_pl"}),
-        ("group8", {"WEBAUDIO_GRAIN_GROUP": "8"}),
-        ("group8_pl", {"WEBAUDIO_GRAIN_GROUP": "8",
-                       "WEBAUDIO_GRAIN_READ": "grouped_pl"}),
+        # batched-dot contraction: kills the broadcast-reshape
+        # materialization (the 800-case's measured 4.4 GB/render)
+        ("grouped_dot", {"WEBAUDIO_GRAIN_READ": "grouped_dot"}),
     ]
     for n in (400, 800):
         for name, env in variants:

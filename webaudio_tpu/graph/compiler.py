@@ -922,23 +922,28 @@ def _two_rate_plan(nodes, edges, cycle_breakers, sample_rate,
         return bf & -bf
 
     best = None
+    best_good = None
     for qi in sorted(cands):
         max_m = min(budget // qi, -(-total_quanta // qi))
-        ms = range(1, max_m + 1)
-        if wants_pow2:
-            good = [m for m in ms if _content(m * qi) >= 4096]
-            if good:
-                ms = good
-        for m in ms:
+        for m in range(1, max_m + 1):
             outer = m * qi
             nb = -(-total_quanta // outer)
-            cost = (nb * outer + 16 * nb + 4 * nb * m,
-                    -_content(outer) if wants_pow2 else 0)
-            if best is None or cost < best[0]:
-                best = (cost, qi, m)
-    if best is None:
+            cost = ((nb * outer + 16 * nb + 4 * nb * m,
+                     -_content(outer) if wants_pow2 else 0), qi, m)
+            if best is None or cost < best:
+                best = cost
+            # the FFT-partition content preference is GLOBAL: any plan
+            # with >= 4096-sample pow2 content beats every plan without
+            # one (a per-inner-candidate filter let inner blocks with no
+            # good m win on raw cost while degrading the partitioned
+            # kernels' FDL 32x — caught by test_block_policy)
+            if wants_pow2 and _content(outer) >= 4096 and \
+                    (best_good is None or cost < best_good):
+                best_good = cost
+    chosen = best_good if best_good is not None else best
+    if chosen is None:
         return None
-    return best[1], best[2]
+    return chosen[1], chosen[2]
 
 
 def _two_rate_steps(nodes, total_quanta, qpb_in, pow2_only=False) -> int:

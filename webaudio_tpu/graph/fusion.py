@@ -879,7 +879,8 @@ class _FusedVoicesKernel:
         ratio = self.buf_rate / self.fs
         rmax = float(np.max(np.abs(self.rates))) * ratio
         C = self.data_host.shape[0]
-        if mode in ("auto", "grouped", "grouped_t", "grouped_pl"):
+        if mode in ("auto", "grouped", "grouped_t", "grouped_pl",
+                    "grouped_dot"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
@@ -1029,6 +1030,11 @@ class _FusedVoicesKernel:
 
             return grouped_row_lerp_pl(data_win, pi, fr, self.win_Qs,
                                        self.win_W)
+        if self.read_mode == "grouped_dot":
+            from ..ops.grain_read import grouped_row_lerp_dot
+
+            return grouped_row_lerp_dot(data_win, pi, fr, self.win_Qs,
+                                        self.win_W)
         if self.read_mode == "grouped":
             from ..ops.grain_read import grouped_row_lerp
 

@@ -49,7 +49,15 @@ class _AnalyserKernel(Kernel):
         return {"ring": jnp.zeros((MAX_FFT_SIZE,), jnp.float32)}
 
     def process(self, scope, state, inputs, params):
+        import os
+
         x = inputs[0]
+        if os.environ.get("WEBAUDIO_ABLATE_ANALYSER_RING") == "1":
+            # measurement-only study mode (WRONG observable state): skip
+            # the ring capture to isolate its on-chip cost — the r5
+            # profile measured anal_only at +1.8 ms over the bare source
+            # while the XLA cost model prices it at ~10 MB
+            return state, [x]
         mono = mix(x, 1, ChannelInterpretation.SPEAKERS)[0]
         B = mono.shape[0]
         if B >= MAX_FFT_SIZE:

@@ -45,7 +45,8 @@ def _comb_affine(c1, c2):
     return a1 * a2, a2 * b1 + b2
 
 
-def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
+def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32,
+                          exact_fallback=True):
     """Branch-pattern fixed-point detector — the TPU formulation.
 
     y[n] = tau_n * y[n-1] + (1 - tau_n) * x[n], with tau_n chosen by
@@ -104,10 +105,11 @@ def _detector_fixed_point(y0, x, at, rt, max_iters=24, dtype=jnp.float32):
     # Fall back to the exact sequential recurrence for this block: the
     # cond branch costs nothing when converged, which is every
     # spec-typical input.
-    y = jax.lax.cond(
-        changed,
-        lambda: _detector_sequential(y064, x64, at64, rt64),
-        lambda: y)
+    if exact_fallback:
+        y = jax.lax.cond(
+            changed,
+            lambda: _detector_sequential(y064, x64, at64, rt64),
+            lambda: y)
     return y.astype(jnp.float32)
 
 
@@ -115,7 +117,7 @@ _CH = 128  # chunk width of the MXU-scan detector (one MXU tile)
 
 
 def _detector_fixed_point_chunked(y0, x, a: float, r: float,
-                                  max_iters=24):
+                                  max_iters=24, exact_fallback=True):
     """Constant-tau fixed-point detector with an O(1)-pass chunked solve.
 
     The generic path's `associative_scan` costs ~2*log2(B) full-array
@@ -197,12 +199,13 @@ def _detector_fixed_point_chunked(y0, x, a: float, r: float,
     # non-convergence fallback, same as _detector_fixed_point (the
     # chunked guard excludes a==0, but r==0 or adversarial inputs can
     # still cascade the pattern front past max_iters)
-    y = jax.lax.cond(
-        changed,
-        lambda: _detector_sequential(
-            y0.astype(jnp.float32), x,
-            jnp.full(B, af, jnp.float32), jnp.full(B, rf, jnp.float32)),
-        lambda: y)
+    if exact_fallback:
+        y = jax.lax.cond(
+            changed,
+            lambda: _detector_sequential(
+                y0.astype(jnp.float32), x,
+                jnp.full(B, af, jnp.float32), jnp.full(B, rf, jnp.float32)),
+            lambda: y)
     return y
 
 
@@ -218,18 +221,27 @@ def chunked_taus_ok(a: float, r: float) -> bool:
 def _detector(y0, x, at, rt, const_taus=None):
     """const_taus: (a, r) floats when the kernel knows the taus are
     compile-time constants (k-rate, no automation) — enables the chunked
-    MXU solve; None keeps the generic dense-tau paths."""
+    MXU solve; None keeps the generic dense-tau paths.
+
+    WEBAUDIO_DETECTOR_MAX_ITERS caps the fixed-point iterations
+    (measurement-only study mode: POSSIBLY WRONG output below the
+    convergence count — used by benches/profile_r5.py to price one
+    iteration's on-chip latency)."""
     import os
 
+    cap = os.environ.get("WEBAUDIO_DETECTOR_MAX_ITERS")
+    # the cap also disables the exact sequential fallback (a capped
+    # non-converged run would otherwise just measure the fallback)
+    kw = {"max_iters": int(cap), "exact_fallback": False} if cap else {}
     mode = os.environ.get("WEBAUDIO_DETECTOR", "auto")
     if mode == "seq":
         return _detector_sequential(y0, x, at, rt)
     if mode == "fp64":
-        return _detector_fixed_point(y0, x, at, rt, dtype=jnp.float64)
+        return _detector_fixed_point(y0, x, at, rt, dtype=jnp.float64, **kw)
     if const_taus is not None and mode in ("auto", "chunked") and \
             chunked_taus_ok(*const_taus) and x.shape[0] >= _CH:
-        return _detector_fixed_point_chunked(y0, x, *const_taus)
-    return _detector_fixed_point(y0, x, at, rt)
+        return _detector_fixed_point_chunked(y0, x, *const_taus, **kw)
+    return _detector_fixed_point(y0, x, at, rt, **kw)
 
 
 def _db_to_lin(v):

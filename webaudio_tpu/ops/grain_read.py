@@ -332,6 +332,42 @@ def grouped_row_lerp_pl(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
     return jnp.transpose(res, (1, 0, 2)).reshape(C, R, B)
 
 
+def grouped_row_lerp_dot(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
+    """dot_general grouped select: same contract as grouped_row_lerp_t.
+
+    The XLA multiply-reduce formulations materialize their broadcast
+    intermediates because the (R*S, g) -> s_tot reshape folds the
+    broadcast dim into the minor axis (grouped_t's two ~667 MB tensors =
+    the measured 4.4 GB/render on the 800-grain case).  Expressed as a
+    batched contraction instead — batch rs, contract w:
+        out[rs, j, c] = sum_w  tw[rs, j, w] * rows[rs, c, w]
+    nothing larger than the (R*S, g, w) two-hot weights ever exists, so
+    HBM traffic drops to tw (w/g f32 per sample) + rows + out.  The tiny
+    per-batch (g, w) x (w, C) dots are VPU-lowered loop fusions, not MXU
+    work — the bet is bandwidth, not FLOPs.  Numerically identical to
+    grouped_row_lerp/_t: each output is the same two f32 products."""
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                  # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)              # (R*S, g)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                        # (R*S, C, w)
+    lanes = jnp.arange(w, dtype=jnp.int32)[None, None, :]    # (1, 1, w)
+    tw = (jnp.where(lanes == loc[:, :, None],
+                    (1.0 - frq)[:, :, None], 0.0)
+          + jnp.where(lanes == loc[:, :, None] + 1,
+                      frq[:, :, None], 0.0))                 # (R*S, g, w)
+    out = jax.lax.dot_general(
+        tw, rows, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (R*S, g, C)
+    return jnp.transpose(out, (2, 0, 1)).reshape(C, R, B)
+
+
 def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
     group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
