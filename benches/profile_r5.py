@@ -150,12 +150,11 @@ def section_granular():
     """Grain-read formulation A/B at both densities: grouped_t (default),
     grouped_pl (Pallas packed select), g=8 narrow rows (43% less select
     traffic, 2x descriptors)."""
-    variants = [
-        ("grouped_t", {}),
-        # batched-dot contraction: kills the broadcast-reshape
-        # materialization (the 800-case's measured 4.4 GB/render)
-        ("grouped_dot", {"WEBAUDIO_GRAIN_READ": "grouped_dot"}),
-    ]
+    # read-formulation A/Bs settled: grouped_t stays the default
+    # (s2: grouped_pl 751/518 vs 1389 at 400 grains, group8 1290;
+    # s3: grouped_dot 919/508 vs 1873/1029 — the batched tiny dots and
+    # the Pallas packed select both lose to the fused XLA select)
+    variants = [("grouped_t", {})]
     for n in (400, 800):
         for name, env in variants:
             saved = {}
@@ -236,8 +235,73 @@ def section_reverb():
                     os.environ[k] = v
 
 
+def section_convfft():
+    """Price the reverb convolver's parts on-chip: the batched 32k rfft,
+    the K-term MAC, the irfft, the full FDL block, and the one-shot
+    whole-render FFT alternative (valid when nb == 1)."""
+    import jax
+    import jax.numpy as jnp
+    from webaudio_tpu.ops import fft_conv
+
+    C, J, P, K = 2, 27, 16384, 10
+    B = J * P
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32))
+    ir = rng.standard_normal((C, 163170)).astype(np.float32) * 0.01
+    H = jnp.asarray(fft_conv.partition_ir(ir, P))
+    st = fft_conv.PartitionedConvState.init(C, K, P)
+
+    segs = jnp.asarray(rng.standard_normal((C, J, 2 * P)).astype(np.float32))
+    X = jnp.fft.rfft(segs, axis=-1).astype(jnp.complex64)
+    Xfull = jnp.concatenate([st["spectra"], X], axis=1)
+
+    def mac(Xf, Hb):
+        Y = None
+        for k in range(K):
+            term = Hb[:, k, None, :] * Xf[:, K - 1 - k: K - 1 - k + J, :]
+            Y = term if Y is None else Y + term
+        return Y
+
+    fns = {
+        "rfft_27x32k": (jax.jit(lambda s: jnp.fft.rfft(s, axis=-1)), (segs,)),
+        "mac_K10": (jax.jit(mac), (Xfull, H)),
+        "irfft_27x32k": (jax.jit(
+            lambda Y: jnp.fft.irfft(Y, n=2 * P, axis=-1)), (mac(Xfull, H),)),
+        "fdl_block": (jax.jit(
+            lambda s, xx: fft_conv.partitioned_conv_block(s, xx, H, P)),
+            (st, x)),
+        "oneshot_1M": (jax.jit(
+            lambda xx: jnp.fft.irfft(
+                jnp.fft.rfft(xx, n=1 << 20, axis=-1)
+                * jnp.fft.rfft(jnp.asarray(ir), n=1 << 20, axis=-1),
+                n=1 << 20, axis=-1)[:, :B]), (x,)),
+    }
+    for name, (fn, args) in fns.items():
+        try:
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            suite._force(lambda: jnp.max(jnp.abs(
+                leaf.real if jnp.iscomplexobj(leaf) else leaf)))
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(25):
+                    out = fn(*args)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                suite._force(lambda: jnp.max(jnp.abs(
+                    leaf.real if jnp.iscomplexobj(leaf) else leaf)))
+                walls.append((time.perf_counter() - t0) / 25)
+            walls.sort()
+            _emit(section="convfft", variant=name,
+                  wall_ms=walls[1] * 1e3,
+                  walls_ms=[w * 1e3 for w in walls])
+        except Exception as exc:
+            _emit(section="convfft", variant=name,
+                  error=f"{type(exc).__name__}: {exc}"[:300])
+
+
 SECTIONS = {"mastering": section_mastering, "granular": section_granular,
-            "reverb": section_reverb}
+            "reverb": section_reverb, "convfft": section_convfft}
 
 
 def main():

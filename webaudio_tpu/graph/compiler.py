@@ -1018,10 +1018,21 @@ def render_args(cg: CompiledGraph, total_frames: int, start_frame: int = 0,
             jnp.zeros((nb, 0, B), jnp.float32)
         cg._xs_cache = xs_params
         cg._xs_cache_key = key
-    frame0s = jnp.asarray(start_frame + np.arange(nb, dtype=np.int32) * B)
+        cg._frame0s_cache = jnp.asarray(
+            start_frame + np.arange(nb, dtype=np.int32) * B)
+        # fresh zero states are identical every render and jit args are
+        # read-only, so stage them ONCE per compiled graph.  Rebuilding
+        # them per call dispatched one eager device op per state leaf
+        # through the tunnel — measured as ~1-2.6 ms of per-render
+        # overhead PER NODE in the r5 session-3 ablation (the analyser's
+        # 32k ring zeros alone cost ~1 ms/render), which dominated every
+        # single-graph benchmark case.
+        cg._zero_states_cache = {
+            _k(nid): k.init_state() for nid, k in cg.kernels.items()}
+    frame0s = cg._frame0s_cache
 
     if init_states is None:
-        init_states = {_k(nid): k.init_state() for nid, k in cg.kernels.items()}
+        init_states = cg._zero_states_cache
 
     if cg.resource_cache is None:
         cg.resource_cache = stage_resources(collect_resources(cg))
