@@ -146,11 +146,14 @@ def main():
             os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
-            # packed Pallas grouped-select candidate (r4 s8 measurement
-            # was degraded — re-adjudicate on a healthy session)
-            _emit(stage="ab", variant="grain_grouped_pl")
-            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_pl"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_pl"
+            # broadcast-only transposed select (grouped_t2): avoids the
+            # reshape-through-broadcast that forces grouped_t to
+            # materialize its (w, C, s_tot) expansion.  (grouped_pl
+            # settled in s1/s2: 556/751 vs 969/1389 — loses; grouped_dot
+            # settled in s3: 919/508 vs 1873/1029 — loses.)
+            _emit(stage="ab", variant="grain_grouped_t2")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_t2"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_t2"
             sys.argv = ["suite.py", "granular_grains", "granular_grains_800"]
             suite.main()
             os.environ.pop("WEBAUDIO_GRAIN_READ", None)

@@ -332,6 +332,37 @@ def grouped_row_lerp_pl(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
     return jnp.transpose(res, (1, 0, 2)).reshape(C, R, B)
 
 
+def grouped_row_lerp_t2(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
+    """Broadcast-only transposed select (no reshape through the broadcast).
+
+    grouped_t's `broadcast_to(...).reshape(w, C, s_tot)` folds the group
+    dim into the minor axis, which forces XLA to MATERIALIZE the (w, C,
+    s_tot) expansion (+ the product) — ~4.3 GB/render measured on the
+    800-grain case.  Here every operand keeps (w, C, R*S, g) axes and
+    only broadcasts feed the w-axis reduce, so the whole select can fuse
+    into one pass over the gathered rows; the g=16 minor axis costs lane
+    padding, the bet is that fusion beats padding.  Bit-identical math
+    (same two f32 products per output)."""
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                  # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)              # (R*S, g)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                        # (R*S, C, w)
+    rows_t = jnp.transpose(rows, (2, 1, 0))                  # (w, C, R*S)
+    wgrid = jnp.arange(w, dtype=jnp.int32)[:, None, None]    # (w, 1, 1)
+    twp = (jnp.where(wgrid == loc[None], 1.0 - frq[None], 0.0)
+           + jnp.where(wgrid == loc[None] + 1, frq[None], 0.0))
+    # twp (w, R*S, g); rows_t broadcast along g; reduce over w
+    out = jnp.sum(twp[:, None, :, :] * rows_t[:, :, :, None],
+                  axis=0)                                    # (C, R*S, g)
+    return out.reshape(C, R, B)
+
+
 def grouped_row_lerp_dot(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """dot_general grouped select: same contract as grouped_row_lerp_t.
 
