@@ -472,3 +472,42 @@ def test_script_processor_fenced_on_callback_free_backends(monkeypatch):
     sp2.connect(ctx2.destination)
     out = ctx2.start_rendering_sync().get_channel_data(0)
     assert out.shape == (1024,)
+
+
+def test_online_arbitrary_callback_size_drains_leftovers():
+    """Non-quantum-multiple callback sizes must emit exactly-sized,
+    gapless, continuous audio (the reference's leftover drain,
+    thread.rs:446-472; closed r5 — callbacks were quantized before)."""
+    from webaudio_tpu import AudioContext
+
+    chunks = []
+    ctx = AudioContext(sample_rate=48000.0,
+                       latency_hint=1000 / 48000.0,   # 1000 frames: not /128
+                       sink_id=lambda chunk, ts: chunks.append(chunk))
+    ctx.set_realtime_pacing(False)
+    assert ctx._callback_frames == 1000
+    assert ctx._buffer_frames == 1024          # internal whole-quanta chunk
+    src = ctx.create_constant_source(offset=1.0)
+    g = ctx.create_gain(gain=0.0)
+    g.gain.set_value_at_time(0.0, 0.0)
+    g.gain.linear_ramp_to_value_at_time(1.0, 10000 / 48000.0)
+    src.connect(g)
+    g.connect(ctx.destination)
+    src.start()
+    deadline = time.time() + 10
+    while len(chunks) < 8 and time.time() < deadline:
+        time.sleep(0.02)
+    ctx.close_sync()
+    assert len(chunks) >= 8
+    assert all(c.shape[1] == 1000 for c in chunks[:8])
+    data = np.concatenate(chunks[:8], axis=1)[0]
+    # the ramp must be continuous across callback boundaries: the signal
+    # IS the ramp (anchored at the context's t=0), so every sample equals
+    # n/10000.  The loop free-runs from resume_sync() in the ctor, so the
+    # first internal chunk(s) may predate the graph — skip the leading
+    # silence (same warmup the other online tests skip)
+    n0 = int(np.argmax(data > 0.0))
+    assert 0 < n0 <= 4096 and data.shape[0] >= n0 + 3000
+    n = np.arange(data.shape[0])
+    expect = np.minimum(n / 10000.0, 1.0)
+    np.testing.assert_allclose(data[n0:], expect[n0:], atol=1e-5)

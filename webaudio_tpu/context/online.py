@@ -58,15 +58,25 @@ class AudioContext(BaseAudioContext):
             render_size_hint = opts.render_size_hint
         super().__init__(sample_rate)
         if isinstance(latency_hint, (int, float)) and not isinstance(latency_hint, bool):
-            # explicit latency in seconds -> frames, quantized to quanta
-            frames = max(RENDER_QUANTUM_SIZE, int(latency_hint * sample_rate))
-            self._buffer_frames = -(-frames // RENDER_QUANTUM_SIZE) * RENDER_QUANTUM_SIZE
+            # explicit latency in seconds -> frames (callback size honored
+            # exactly; the ENGINE renders in whole quanta and drains
+            # leftovers, reference: thread.rs:446-472)
+            self._callback_frames = max(1, int(latency_hint * sample_rate))
         else:
             if latency_hint not in LATENCY_BUFFER_SIZES:
                 raise NotSupportedError(f"invalid latency hint {latency_hint!r}")
-            self._buffer_frames = LATENCY_BUFFER_SIZES[latency_hint]
+            self._callback_frames = LATENCY_BUFFER_SIZES[latency_hint]
         if render_size_hint:
-            self._buffer_frames = max(self._buffer_frames, int(render_size_hint))
+            self._callback_frames = max(self._callback_frames,
+                                        int(render_size_hint))
+        # internal render chunk: callback size rounded UP to whole quanta
+        # (the compiled scan steps whole 128-frame quanta; arbitrary
+        # callback sizes are served from the leftover carry in
+        # _render_loop — the reference's render thread does the same)
+        self._buffer_frames = max(
+            RENDER_QUANTUM_SIZE,
+            -(-self._callback_frames // RENDER_QUANTUM_SIZE)
+            * RENDER_QUANTUM_SIZE)
         self._number_of_channels = number_of_channels
 
         from ..nodes.destination import AudioDestinationNode
@@ -100,7 +110,8 @@ class AudioContext(BaseAudioContext):
 
     @property
     def output_latency(self) -> float:
-        return self._backend.output_latency + self._buffer_frames / self.sample_rate
+        return self._backend.output_latency + \
+            self._callback_frames / self.sample_rate
 
     @property
     def sink_id(self):
@@ -294,23 +305,32 @@ class AudioContext(BaseAudioContext):
 
     def _render_loop(self):
         B = self._buffer_frames
-        budget = B / self.sample_rate
+        N = self._callback_frames
+        budget = N / self.sample_rate
         next_deadline = time.monotonic()
+        # leftover carry: the engine renders whole quanta; callbacks of
+        # arbitrary size drain from here (reference: thread.rs:446-472)
+        carry = np.zeros((self._number_of_channels, 0), np.float32)
         while self._running:
             t0 = time.monotonic()
-            try:
-                chunk = self._render_one_chunk()
-            except Exception as exc:  # keep the loop alive (failure recovery)
-                import traceback
+            while carry.shape[1] < N:
+                try:
+                    chunk = self._render_one_chunk()
+                except Exception as exc:  # keep the loop alive
+                    import traceback
 
-                traceback.print_exc()
-                self._event_loop.post(EventDispatch(
-                    EventType.PROCESSOR_ERROR, payload=exc))
-                chunk = np.zeros((self._number_of_channels, B), np.float32)
-                self._frame += B
+                    traceback.print_exc()
+                    self._event_loop.post(EventDispatch(
+                        EventType.PROCESSOR_ERROR, payload=exc))
+                    chunk = np.zeros(
+                        (self._number_of_channels, B), np.float32)
+                    self._frame += B
+                carry = chunk if carry.shape[1] == 0 else \
+                    np.concatenate([carry, chunk], axis=1)
+            out, carry = carry[:, :N], carry[:, N:]
             dur = time.monotonic() - t0
             self._stats.record_render_callback(dur, budget)
-            self._backend.write(chunk, self.current_time)
+            self._backend.write(out, self.current_time)
             self._dispatch_scheduled_events()
             if self._realtime:
                 next_deadline += budget
