@@ -109,12 +109,17 @@ def main():
 
     # round-4 residual splits (WRONG-OUTPUT study modes, measurement
     # only): cost of the predecessor-grain second fetch, and of the
-    # whole fetch stage
+    # whole fetch stage.  r5: both densities, 25-deep (the 5-deep fence
+    # artifact is the same order as the splits being isolated)
+    for n in (400, 800):
+        ctx, seconds = build(n_grains=n)
+        measure(f"baseline25_{n}", ctx, seconds, runs=25)
     for mode in ("single_variant", "no_read"):
         os.environ["WEBAUDIO_GRAIN_ABLATE"] = mode
         try:
-            ctx, seconds = build()
-            measure(f"ablate_{mode}", ctx, seconds)
+            for n in (400, 800):
+                ctx, seconds = build(n_grains=n)
+                measure(f"ablate_{mode}_{n}", ctx, seconds, runs=25)
         finally:
             os.environ.pop("WEBAUDIO_GRAIN_ABLATE", None)
 
