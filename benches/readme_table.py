@@ -15,7 +15,7 @@ LABELS = {
     "many_oscillators_fused": "500-voice fused oscillator bank (config 2)",
     "convolution_reverb": "convolution reverb, 3.7 s IR + feedback delay (config 3, two-rate compiled)",
     "hrtf_moving": "HRTF panner, moving listener (config 4)",
-    "mastering_chain": "mastering chain: 4× waveshaper → compressor → analyser (config 5)",
+    "mastering_chain": "mastering chain: 4× waveshaper → compressor → analyser (config 5, pallas3 curve)",
     "stereo_pan_automation": "stereo pan a-rate automation",
     "iir_chain": "order-4 IIR chain",
     "delay_network": "feedback delay network (cyclic, two-rate compiled)",
