@@ -146,14 +146,17 @@ def main():
             os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
-            # broadcast-only transposed select (grouped_t2): avoids the
-            # reshape-through-broadcast that forces grouped_t to
-            # materialize its (w, C, s_tot) expansion.  (grouped_pl
-            # settled in s1/s2: 556/751 vs 969/1389 — loses; grouped_dot
-            # settled in s3: 919/508 vs 1873/1029 — loses.)
-            _emit(stage="ab", variant="grain_grouped_t2")
-            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_t2"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_t2"
+            # VMEM grouped select (grouped_v): the SUB1000 round-4
+            # addendum candidate — keeps grouped_t's (w, C, s_tot)
+            # broadcast expansion (~2x1.3 GB/render at 800 grains, the
+            # measured bw_frac 0.55) in a (g, 1024) register accumulator;
+            # zero dots, static index maps only.  (grouped_pl settled in
+            # s1/s2: 556/751 vs 969/1389 — loses; grouped_dot settled in
+            # s3: 919/508 vs 1873/1029 — loses; grouped_t2 settled in
+            # s5-s7: 800-grain ss25 1022-1037 vs 1027-1040 — wash.)
+            _emit(stage="ab", variant="grain_grouped_v")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_v"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_v"
             sys.argv = ["suite.py", "granular_grains", "granular_grains_800"]
             suite.main()
             os.environ.pop("WEBAUDIO_GRAIN_READ", None)

@@ -259,6 +259,128 @@ def test_grouped_pl_kernel_bit_matches_grouped_t():
         np.testing.assert_array_equal(a, b, err_msg=str((C, g, w, wrap)))
 
 
+def test_grouped_v_kernel_matches_grouped_t_to_one_ulp():
+    """The VMEM grouped-select (ops/grain_read.py::grouped_row_lerp_v,
+    interpret mode) computes the same two-hot lerp products as the XLA
+    transposed select, but the backend may FMA-contract the
+    mul+accumulate (XLA:CPU does, for every formulation of this shape —
+    see _kernel_grouped_v), so the guarantee is <=1 ulp of the LERP
+    OPERANDS per element rather than bit equality.  Checked across
+    channel counts, group sizes, row widths, padding remainders, and
+    the loop-wrap path — same corpus as the _pl test."""
+    import jax.numpy as jnp
+
+    from webaudio_tpu.ops.grain_read import (
+        grouped_row_lerp_t, grouped_row_lerp_v, stage_rows)
+
+    rng = np.random.default_rng(7)
+    for (C, g, w, R, B, wrap) in [(2, 16, 21, 9, 7040, 0),
+                                  (1, 16, 21, 3, 4096, 0),
+                                  (2, 8, 11, 4, 2048, 0),
+                                  (2, 16, 30, 2, 1024, 500),
+                                  (3, 16, 21, 2, 2048, 0),
+                                  (1, 8, 32, 1, 64, 0)]:
+        L = 4000
+        ext = rng.standard_normal((C, L + w + 2)).astype(np.float32)
+        rows_g = jnp.asarray(stage_rows(ext, w))
+        base = rng.integers(0, L - w, size=(R, B // g)).astype(np.int32)
+        step = rng.random((R, B // g)).astype(np.float32) * ((w - 3) / g)
+        offs = np.arange(g, dtype=np.float32)[None, None, :] * \
+            step[:, :, None]
+        pif = base[:, :, None] + offs
+        pi = np.floor(pif).astype(np.int32).reshape(R, B)
+        fr = (pif - np.floor(pif)).astype(np.float32).reshape(R, B)
+        a = np.asarray(grouped_row_lerp_t(
+            rows_g, jnp.asarray(pi), jnp.asarray(fr), g, w, wrap))
+        b = np.asarray(grouped_row_lerp_v(
+            rows_g, jnp.asarray(pi), jnp.asarray(fr), g, w, wrap,
+            interpret=True))
+        # per-element bound: 1 ulp of the larger lerp operand (the FMA
+        # keeps the product exact, so the only divergence is one
+        # product rounding of an O(|x|) value).  Reconstruct the fetched
+        # operands exactly like the kernels do: per group, row start
+        # w0 (mod wrap), lane loc in [0, w-2], values ext[w0+loc(+1)].
+        S = B // g
+        piq = pi.reshape(R * S, g)
+        w0 = np.minimum(piq[:, 0], piq[:, -1])
+        loc = np.clip(piq - w0[:, None], 0, w - 2)
+        if wrap:
+            w0 = w0 % wrap
+        idx = (w0[:, None] + loc).reshape(R, B)               # (R, B)
+        lo = ext[:, idx]                                      # (C, R, B)
+        hi = ext[:, idx + 1]
+        bound = np.spacing(np.maximum(np.abs(lo), np.abs(hi))
+                           .astype(np.float32))
+        err = np.abs(a - b)
+        assert np.all(err <= bound), (
+            (C, g, w, wrap), float(err.max()), float(bound.max()))
+        # and the overwhelming majority must still be bit-equal
+        assert np.mean(a == b) > 0.5, (C, g, w, wrap)
+
+
+def test_grouped_v_render_matches_default():
+    """Whole-render A/B: the fused grain bank under
+    WEBAUDIO_GRAIN_READ=grouped_v must match the grouped_t default."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.graph import compiler as C
+
+    def render(mode):
+        os.environ["WEBAUDIO_GRAIN_READ"] = mode
+        try:
+            fs = 44100.0
+            ctx = wa.OfflineAudioContext(2, int(fs * 0.8), fs)
+            L = 30000
+            buf = ctx.create_buffer(2, L, fs)
+            rng = np.random.default_rng(11)
+            for c in range(2):
+                buf.copy_to_channel(
+                    rng.standard_normal(L).astype(np.float32) * 0.4, c)
+            rs = np.random.RandomState(3)
+            for i in range(40):
+                when = i * 0.6 / 40
+                src = ctx.create_buffer_source(
+                    playback_rate=float(0.9 + 0.2 * rs.rand()))
+                src.buffer = buf
+                g = ctx.create_gain(gain=0.0)
+                g.gain.set_value_at_time(0.0, when)
+                g.gain.linear_ramp_to_value_at_time(0.4, when + 0.045)
+                g.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+                src.connect(g)
+                g.connect(ctx.destination)
+                src.start(when, 0.1 + i * 0.002, 0.09)
+            os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+            try:
+                cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                                     ctx.sample_rate, ctx.length,
+                                     ctx._destination.node_id)
+            finally:
+                os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+            fused = [k for k in cg.kernels.values()
+                     if type(k).__name__ == "_FusedVoicesKernel"]
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+            return np.asarray(out), fused
+        finally:
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+    ref, fused_t = render("grouped_t")
+    got, fused_v = render("grouped_v")
+    assert fused_t and fused_t[0].read_mode == "grouped_t"
+    assert fused_v and fused_v[0].read_mode == "grouped_v"
+    assert np.abs(ref).max() > 0.01
+    # not bit-exact: grouped_v's products may FMA-contract, and the
+    # pallas call is a fusion boundary so the downstream per-lane
+    # envelope multiply + K-lane reduce contract differently too —
+    # ulp-scale errors accumulate over the ~tens of packed lanes
+    # (measured max 1.2e-5 on this corpus; a wrong grain would be
+    # O(0.1)).  Per-element correctness is anchored by the kernel-level
+    # ulp test above; this test checks the mode is actually engaged and
+    # the render is audibly identical.
+    np.testing.assert_allclose(got, ref, rtol=0.0, atol=3e-5)
+    num = float(np.sum((got - ref) ** 2))
+    den = float(np.sum(ref ** 2))
+    assert num <= 1e-9 * den, (num, den)
+
+
 def test_curve_auto_mode_cpu_is_xla():
     """Default (auto) curve mode on CPU must take the XLA path bit-exactly
     (the pallas3 probe only fires on tpu/axon backends) — including at

@@ -880,7 +880,7 @@ class _FusedVoicesKernel:
         rmax = float(np.max(np.abs(self.rates))) * ratio
         C = self.data_host.shape[0]
         if mode in ("auto", "grouped", "grouped_t", "grouped_pl",
-                    "grouped_dot", "grouped_t2"):
+                    "grouped_dot", "grouped_t2", "grouped_v"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
@@ -1040,6 +1040,11 @@ class _FusedVoicesKernel:
 
             return grouped_row_lerp_t2(data_win, pi, fr, self.win_Qs,
                                        self.win_W)
+        if self.read_mode == "grouped_v":
+            from ..ops.grain_read import grouped_row_lerp_v
+
+            return grouped_row_lerp_v(data_win, pi, fr, self.win_Qs,
+                                      self.win_W)
         if self.read_mode == "grouped":
             from ..ops.grain_read import grouped_row_lerp
 

@@ -165,7 +165,7 @@ class _BufferSourceKernel(Kernel):
         rmax = abs(self.const_rate) * self.buf_rate / rc.sample_rate
         if mode == "auto":
             return  # single-voice source: gathers win (see docstring)
-        if mode in ("grouped", "grouped_t", "grouped_pl"):
+        if mode in ("grouped", "grouped_t", "grouped_pl", "grouped_v"):
             g, w = pick_group(rmax, self.buf_channels, self.buf_len,
                               rc.block_frames)
             if g and not (mode == "grouped_pl" and self.buf_channels > 2):
@@ -423,10 +423,12 @@ class _BufferSourceKernel(Kernel):
         k = (base - fl).astype(jnp.float32)
         if self.read_mode.startswith("grouped"):
             from ..ops.grain_read import (
-                grouped_row_lerp, grouped_row_lerp_pl, grouped_row_lerp_t)
+                grouped_row_lerp, grouped_row_lerp_pl, grouped_row_lerp_t,
+                grouped_row_lerp_v)
 
             fn = {"grouped_t": grouped_row_lerp_t,
                   "grouped_pl": grouped_row_lerp_pl,
+                  "grouped_v": grouped_row_lerp_v,
                   "grouped": grouped_row_lerp}[self.read_mode]
             out = fn(
                 scope.node_resources["data_rows_g"], u[None, :],

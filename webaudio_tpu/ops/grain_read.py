@@ -399,6 +399,106 @@ def grouped_row_lerp_dot(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     return jnp.transpose(out, (2, 0, 1)).reshape(C, R, B)
 
 
+_MGV = 1024  # sample-groups per grid step in the VMEM-select kernel
+
+
+def _kernel_grouped_v(rows_ref, loc_ref, fr_ref, out_ref, *, g: int,
+                      w: int, C: int):
+    """VMEM grouped select (the SUB1000_ANALYSIS round-4 candidate,
+    simplified to zero dots): every operand rides the GROUP axis as its
+    minor (lane) dimension, so each VPU op runs full 128-lane tiles and
+    the (w, C, s_tot)-sized expansion the XLA formulations materialize
+    in HBM (2x ~667 MB/render on the 800-grain case) lives only as a
+    (g, MGV) register accumulator.  Per static row-lane u, the two-hot
+    weight (1-fr at loc==u, fr at loc==u-1 — the same two f32 products
+    in the same u order as grouped_row_lerp_t's w-axis reduce)
+    multiplies the broadcast row value and accumulates.  The backend is
+    free to contract each mul+accumulate into an FMA, so outputs match
+    grouped_row_lerp_t to <=1 ulp OF THE OPERAND SCALE rather than
+    bit-exactly — unavoidable: XLA:CPU contracts ANY formulation of
+    this shape (stack+reduce and optimization_barrier both measured
+    identical), and the contracted form is the more accurate one.
+    No dot, no dynamic DMA, static index maps only — well inside the
+    remote-Mosaic-accepted shape family (benches/pallas_features.py)."""
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    rows = rows_ref[...]                                   # (Cw_pad, M)
+    loc = loc_ref[...]                                     # (g, M) i32
+    fr = fr_ref[...]                                       # (g, M) f32
+    acc = [jnp.zeros(loc.shape, jnp.float32) for _ in range(C)]
+    for u in range(w):
+        u32 = jnp.int32(u)   # python ints lift to i64 under x64
+        wgt = jnp.where(loc == u32, one - fr, zero)
+        if u:
+            wgt = wgt + jnp.where(loc == u32 - jnp.int32(1), fr, zero)
+        for c in range(C):
+            acc[c] = acc[c] + rows[c * w + u, :][None, :] * wgt
+    for c in range(C):
+        out_ref[c * g:(c + 1) * g, :] = acc[c]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "w", "wrap_len", "interpret"))
+def grouped_row_lerp_v(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
+                       interpret: bool = False):
+    """Pallas VMEM variant of grouped_row_lerp_t (same contract; same
+    two-hot lerp products, matching to <=1 ulp of the operand scale —
+    NOT bit-exact, see _kernel_grouped_v on FMA contraction; the other
+    grouped modes remain pairwise bit-identical).  Unlike grouped_pl
+    there is NO host-side packing pass (the r5-s1 loss mode: the packed
+    staging scatters cost more HBM than they saved) and no in-kernel
+    dot: inputs stream in their natural gathered layouts, transposed
+    once XLA-side so the group axis is minor everywhere."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.devices()[0].platform not in ("tpu", "axon")
+    R, B = pi.shape
+    C = rows_g.shape[1]
+    S = B // g
+    piq = pi.reshape(R * S, g)
+    frq = fr.reshape(R * S, g)
+    w0 = jnp.minimum(piq[:, 0], piq[:, -1])                # (R*S,)
+    loc = jnp.clip(piq - w0[:, None], 0, w - 2)            # (R*S, g)
+    if wrap_len:
+        w0 = w0 % jnp.int32(wrap_len)
+    rows = rows_g[w0]                                      # (R*S, C, w)
+
+    RS = R * S
+    RSp = ((RS + _MGV - 1) // _MGV) * _MGV
+    Cw = C * w
+    Cwp = ((Cw + 7) // 8) * 8
+    # group axis -> minor everywhere; pad groups to the grid multiple
+    # and the row-lane axis to a sublane multiple (pad lanes read as 0
+    # and pad groups select zero rows — sliced off below)
+    rows_t = jnp.transpose(rows, (1, 2, 0)).reshape(Cw, RS)
+    rows_t = jnp.pad(rows_t, ((0, Cwp - Cw), (0, RSp - RS)))
+    loc_t = jnp.pad(jnp.transpose(loc).astype(jnp.int32),
+                    ((0, 0), (0, RSp - RS)))               # (g, RSp)
+    fr_t = jnp.pad(jnp.transpose(frq), ((0, 0), (0, RSp - RS)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped_v, g=g, w=w, C=C),
+        out_shape=jax.ShapeDtypeStruct((C * g, RSp), jnp.float32),
+        grid=(RSp // _MGV,),
+        in_specs=[
+            pl.BlockSpec((Cwp, _MGV), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, _MGV), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, _MGV), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C * g, _MGV),
+                               lambda i: (jnp.int32(0), i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_t, loc_t, fr_t)
+    # (C*g, RSp) -> (C, g, RS) -> (C, RS, g) -> (C, R, B)
+    res = out.reshape(C, g, RSp)[:, :, :RS]
+    return jnp.transpose(res, (0, 2, 1)).reshape(C, R, B)
+
+
 def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
     group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
