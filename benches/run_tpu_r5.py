@@ -146,17 +146,16 @@ def main():
             os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
-            # VMEM grouped select (grouped_v): the SUB1000 round-4
-            # addendum candidate — keeps grouped_t's (w, C, s_tot)
-            # broadcast expansion (~2x1.3 GB/render at 800 grains, the
-            # measured bw_frac 0.55) in a (g, 1024) register accumulator;
-            # zero dots, static index maps only.  (grouped_pl settled in
-            # s1/s2: 556/751 vs 969/1389 — loses; grouped_dot settled in
-            # s3: 919/508 vs 1873/1029 — loses; grouped_t2 settled in
-            # s5-s7: 800-grain ss25 1022-1037 vs 1027-1040 — wash.)
-            _emit(stage="ab", variant="grain_grouped_v")
-            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_v"
-            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_v"
+            # grain-read A/B: the VMEM grouped select (grouped_v) became
+            # the probed TPU default after benches/runs_r05/probe_gv
+            # (400: 909/1,879 vs 718/1,592; 800: 791/1,134 vs 711/1,032
+            # at 5/25-deep; bit-exact on chip), so the contrast row now
+            # forces the prior XLA transposed select.  (grouped_pl
+            # settled s1/s2, grouped_dot s3, grouped_t2 s5-s7 — all
+            # lose or wash vs grouped_t.)
+            _emit(stage="ab", variant="grain_grouped_t")
+            os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_t"
+            os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_t"
             sys.argv = ["suite.py", "granular_grains", "granular_grains_800"]
             suite.main()
             os.environ.pop("WEBAUDIO_GRAIN_READ", None)

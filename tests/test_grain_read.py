@@ -381,6 +381,49 @@ def test_grouped_v_render_matches_default():
     assert num <= 1e-9 * den, (num, den)
 
 
+def test_grain_auto_mode_gates_on_backend_probe(monkeypatch):
+    """`auto` resolves grouped_v only when the one-time backend probe
+    passes (ops/grain_read.grouped_v_supported — False on CPU), else the
+    XLA transposed select; forced modes bypass the probe.  Mirrors the
+    curve kernel's pallas3 auto-probe contract."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.graph import compiler as C
+    from webaudio_tpu.ops import grain_read
+
+    def fused_mode():
+        fs = 44100.0
+        ctx = wa.OfflineAudioContext(1, int(fs * 0.8), fs)
+        L = 20000
+        buf = ctx.create_buffer(1, L, fs)
+        buf.copy_to_channel(
+            np.random.default_rng(5).standard_normal(L)
+            .astype(np.float32) * 0.3, 0)
+        # 40 grains, ~7 concurrent -> K*4 <= V so the lane path engages
+        for i in range(40):
+            s = ctx.create_buffer_source(playback_rate=1.03)
+            s.buffer = buf
+            s.connect(ctx.destination)
+            s.start(i * 0.6 / 40, 0.05 + i * 0.002, 0.09)
+        os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+        try:
+            cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                                 ctx.sample_rate, ctx.length,
+                                 ctx._destination.node_id)
+        finally:
+            os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+        (k,) = [k for k in cg.kernels.values()
+                if type(k).__name__ == "_FusedVoicesKernel"]
+        out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+        assert np.abs(np.asarray(out)).max() > 0.01
+        return k.read_mode   # set at prepare() inside compile/render
+
+    os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+    assert not grain_read.grouped_v_supported()     # CPU backend
+    assert fused_mode() == "grouped_t"
+    monkeypatch.setattr(grain_read, "grouped_v_supported", lambda: True)
+    assert fused_mode() == "grouped_v"
+
+
 def test_curve_auto_mode_cpu_is_xla():
     """Default (auto) curve mode on CPU must take the XLA path bit-exactly
     (the pallas3 probe only fires on tpu/axon backends) — including at

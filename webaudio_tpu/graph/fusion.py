@@ -884,15 +884,25 @@ class _FusedVoicesKernel:
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
-                # 'auto' takes the transposed select (sample axis minor —
-                # full 128-lane tiles; the straight (R*S, g, w) layout ran
-                # its fused select at ~w/128 lane utilization).
+                # 'auto': the Pallas VMEM select on TPU backends whose
+                # Mosaic accepts it (keeps the (w, C, s_tot) broadcast
+                # expansion in a register accumulator; in-situ 2026-08-18
+                # probe: wins both densities at both depths, bit-exact on
+                # chip — ops/grain_read.grouped_v_supported), else the
+                # transposed XLA select (sample axis minor — full 128-lane
+                # tiles; the straight (R*S, g, w) layout ran its fused
+                # select at ~w/128 lane utilization).
                 # 'grouped_pl' = Pallas packed select (opt-in study mode;
                 # needs C<=2, which pick_group's 32-lane bound implies
                 # only for the row width — check channels here)
                 if mode == "grouped_pl" and C > 2:
                     mode = "grouped_t"
-                self.read_mode = (mode if mode != "auto" else "grouped_t")
+                if mode == "auto":
+                    from ..ops.grain_read import grouped_v_supported
+
+                    mode = ("grouped_v" if grouped_v_supported()
+                            else "grouped_t")
+                self.read_mode = mode
             return
         if mode == "window":
             self.win_Qs, self.win_W = pick_window(rmax, self.block_frames)

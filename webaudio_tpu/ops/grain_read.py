@@ -499,6 +499,31 @@ def grouped_row_lerp_v(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
     return jnp.transpose(res, (0, 2, 1)).reshape(C, R, B)
 
 
+@functools.lru_cache(maxsize=1)
+def grouped_v_supported() -> bool:
+    """One-time probe: does the current default backend compile the VMEM
+    grouped select (grouped_row_lerp_v)?  Same pattern as
+    ops/curve_kernel.pallas3_supported — the in-situ adjudication
+    (benches/runs_r05/probe_gv.jsonl, 2026-08-18) showed grouped_v
+    beating grouped_t at BOTH grain densities and BOTH depths (400:
+    909/1,879 vs 718/1,592; 800: 791/1,134 vs 711/1,032 at 5/25-deep)
+    and bit-exact on chip (max_abs 0.0), but earlier remote Mosaic
+    builds HTTP-500 whole kernel families, so `auto` probes once per
+    process instead of assuming.  Compile-only (block_until_ready, no
+    host readback); ~1 s once the persistent compile cache has it."""
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return False
+        C, g, w = 2, 16, 21
+        rows_g = jnp.zeros((8, C, w), jnp.float32)
+        pi = jnp.zeros((1, 1024), jnp.int32)
+        fr = jnp.zeros((1, 1024), jnp.float32)
+        jax.block_until_ready(grouped_row_lerp_v(rows_g, pi, fr, g, w))
+        return True
+    except Exception:
+        return False
+
+
 def grouped_row_lerp(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0):
     """rows_g (N, C, w); pi/fr (R, B) int32/f32 (monotone per g-sample
     group) -> (C, R, B).  Same contract as windowed_lerp (`wrap_len` for
