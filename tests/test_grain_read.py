@@ -381,6 +381,70 @@ def test_grouped_v_render_matches_default():
     assert num <= 1e-9 * den, (num, den)
 
 
+def test_grain_fused_render_matches_grouped_t():
+    """Whole-render A/B: the fully-fused bank kernel
+    (WEBAUDIO_GRAIN_READ=fused, interpret mode on CPU) must match the
+    grouped_t XLA path — including grains that run past the buffer end
+    (edge-correction path) and pre-start masking."""
+    import webaudio_tpu as wa
+    from webaudio_tpu.graph import compiler as C
+
+    def render(mode):
+        os.environ["WEBAUDIO_GRAIN_READ"] = mode
+        try:
+            fs = 44100.0
+            ctx = wa.OfflineAudioContext(2, int(fs * 0.8), fs)
+            L = 30000
+            buf = ctx.create_buffer(2, L, fs)
+            rng = np.random.default_rng(11)
+            for c in range(2):
+                buf.copy_to_channel(
+                    rng.standard_normal(L).astype(np.float32) * 0.4, c)
+            rs = np.random.RandomState(3)
+            for i in range(40):
+                when = i * 0.6 / 40
+                src = ctx.create_buffer_source(
+                    playback_rate=float(0.9 + 0.2 * rs.rand()))
+                src.buffer = buf
+                g = ctx.create_gain(gain=0.0)
+                g.gain.set_value_at_time(0.0, when)
+                g.gain.linear_ramp_to_value_at_time(0.4, when + 0.045)
+                g.gain.linear_ramp_to_value_at_time(0.0, when + 0.09)
+                src.connect(g)
+                g.connect(ctx.destination)
+                # every 5th grain starts near the buffer end so its
+                # playhead crosses L (edge constant + valid mask)
+                off = (L / fs - 0.05) if i % 5 == 0 else 0.1 + i * 0.002
+                src.start(when, off, 0.09)
+            os.environ["WEBAUDIO_FUSE_THRESHOLD"] = "8"
+            try:
+                cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
+                                     ctx.sample_rate, ctx.length,
+                                     ctx._destination.node_id)
+            finally:
+                os.environ.pop("WEBAUDIO_FUSE_THRESHOLD", None)
+            fused = [k for k in cg.kernels.values()
+                     if type(k).__name__ == "_FusedVoicesKernel"]
+            out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
+            return np.asarray(out), fused
+        finally:
+            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+
+    ref, fused_t = render("grouped_t")
+    got, fused_f = render("fused")
+    assert fused_t and fused_t[0].read_mode == "grouped_t"
+    assert fused_f and fused_f[0].read_mode == "fused"
+    assert fused_f[0].lane_aligned and fused_f[0].lane_env
+    assert np.abs(ref).max() > 0.01
+    # same tolerance rationale as the grouped_v render A/B: the kernel
+    # computes the identical f32 products but the backend may
+    # FMA-contract select/envelope chains differently
+    np.testing.assert_allclose(got, ref, rtol=0.0, atol=3e-5)
+    num = float(np.sum((got - ref) ** 2))
+    den = float(np.sum(ref ** 2))
+    assert num <= 1e-9 * den, (num, den)
+
+
 def test_grain_auto_mode_gates_on_backend_probe(monkeypatch):
     """`auto` resolves grouped_v only when the one-time backend probe
     passes (ops/grain_read.grouped_v_supported — False on CPU), else the

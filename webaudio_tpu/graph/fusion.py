@@ -880,10 +880,22 @@ class _FusedVoicesKernel:
         rmax = float(np.max(np.abs(self.rates))) * ratio
         C = self.data_host.shape[0]
         if mode in ("auto", "grouped", "grouped_t", "grouped_pl",
-                    "grouped_dot", "grouped_t2", "grouped_v"):
+                    "grouped_dot", "grouped_t2", "grouped_v", "fused"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
             if g:
                 self.win_Qs, self.win_W = g, w
+                # 'fused' = whole-bank VMEM kernel (playhead + masks +
+                # select + edge + envelope in one pass; probe_hlo2
+                # showed the XLA lane path materializing ~1.67 GB/render
+                # of full-length intermediates on the 800-grain case).
+                # Eligibility: aligned packing (single hi variant),
+                # per-lane envelope rows, <= 2 channels, and no ablation
+                # study mode (those instrument the XLA path).
+                fused_ok = (self.lane_aligned and self.lane_env
+                            and self.has_gain and C <= 2
+                            and not os.environ.get("WEBAUDIO_GRAIN_ABLATE"))
+                if mode == "fused" and not fused_ok:
+                    mode = "grouped_t"
                 # 'auto': the Pallas VMEM select on TPU backends whose
                 # Mosaic accepts it (keeps the (w, C, s_tot) broadcast
                 # expansion in a register accumulator; in-situ 2026-08-18
@@ -898,10 +910,15 @@ class _FusedVoicesKernel:
                 if mode == "grouped_pl" and C > 2:
                     mode = "grouped_t"
                 if mode == "auto":
-                    from ..ops.grain_read import grouped_v_supported
+                    from ..ops.grain_read import (grain_fused_supported,
+                                                  grouped_v_supported)
 
-                    mode = ("grouped_v" if grouped_v_supported()
-                            else "grouped_t")
+                    if fused_ok and grain_fused_supported():
+                        mode = "fused"
+                    elif grouped_v_supported():
+                        mode = "grouped_v"
+                    else:
+                        mode = "grouped_t"
                 self.read_mode = mode
             return
         if mode == "window":
@@ -965,7 +982,8 @@ class _FusedVoicesKernel:
                     dw = np.zeros((C, L + self.win_W + 2), np.float32)
                     dw[:, :L] = self.data_host
                     dw[:, L] = edge_vals(self.data_host)
-                    if self.read_mode.startswith("grouped"):
+                    if (self.read_mode == "fused"
+                            or self.read_mode.startswith("grouped")):
                         from ..ops.grain_read import stage_rows
 
                         res["data_rows_g"] = stage_rows(dw, self.win_W)
@@ -1126,6 +1144,23 @@ class _FusedVoicesKernel:
             return fields
 
         hi = variant(gid_hi)
+        if self.read_mode == "fused":
+            # fully-fused VMEM bank: per-sample playhead, schedule/bounds
+            # masks, two-hot row select, end-of-buffer edge correction,
+            # and the per-lane envelope all run inside one Pallas kernel
+            # on (g, M) group tiles; XLA-side work is group-granular
+            # only (ops/grain_read.grain_bank_fused).  Eligibility
+            # (aligned packing + lane_env + C <= 2) is enforced at mode
+            # selection in _pick_window.
+            from ..ops.grain_read import grain_bank_fused
+
+            out = grain_bank_fused(
+                r["data_rows_g"], t, hi["ok"].astype(jnp.float32),
+                hi["startv"], hi["stopv"], hi["base_i"], hi["base_f"],
+                hi["rate32"], params.get("gain"), r["edge_vals"],
+                g=self.win_Qs, w=self.win_W, L=L, Q=Q,
+                gl0=float(self.gain_lim[0]), gl1=float(self.gain_lim[1]))
+            return state, [out]
         if self.lane_aligned:
             # aligned packing: the quantum-end grain is the quantum's ONLY
             # possibly-audible grain (any predecessor's frames < ends all

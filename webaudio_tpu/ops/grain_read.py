@@ -499,6 +499,213 @@ def grouped_row_lerp_v(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
     return jnp.transpose(res, (0, 2, 1)).reshape(C, R, B)
 
 
+_MGF = 1024  # sample-groups per grid step in the fully-fused bank kernel
+
+
+def _kernel_grain_fused(rows_ref, ints_ref, flts_ref, gain_ref, out_ref, *,
+                        g: int, w: int, C: int, L: int, gl0: float,
+                        gl1: float):
+    """Fully-fused grain-bank tile: playhead, schedule/bounds masks,
+    two-hot row select, end-of-buffer edge correction, and the envelope
+    multiply all happen on VMEM-resident (g, M) tiles.
+
+    Motivation (benches/probe_hlo2.py on the 800-grain case): the XLA
+    lane path materializes ~1.67 GB/render of full-length intermediates
+    — 688 MB layout/carry copies, 228 MB pads, the 95.6 MB stacked
+    (6, K, B) broadcast of per-quantum constants — because every
+    elementwise stage between the row gather and the K-lane sum lives at
+    (K, B) with fusion-breaking transposes/reshapes between them.  Here
+    the only HBM tensors are the gathered rows, nine per-GROUP scalar
+    rows, the (g, M)-layout envelope, and the (C*g, M) output.
+
+    Layouts: the GROUP axis is the lane (minor) dimension everywhere —
+    the grouped_v family the remote Mosaic accepts (static index maps,
+    no dots, no dynamic DMA).  ints (8, M) i32 rows: t0 (frame of the
+    group's first sample), start/stop frames, base_i (buffer sample at
+    the quantum start), w0 (gathered row start).  flts (8, M) f32 rows:
+    base_f, rate, js (within-quantum j of the group's first sample),
+    ok flag, edge_vals[0], edge_vals[1].  Within a group, consecutive
+    sublanes are consecutive samples, so per-sample j/t are affine in
+    the sublane iota.  Numerics: the same f32 products/adds as the XLA
+    path (fusion.py::_process_grain_lanes) in the same order; the
+    backend may FMA-contract the select accumulation exactly as
+    _kernel_grouped_v's (<= 1 ulp of the lerp operands)."""
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    zi = jnp.int32(0)
+    ints = ints_ref[...]                                   # (8, M) i32
+    flts = flts_ref[...]                                   # (8, M) f32
+    rows = rows_ref[...]                                   # (Cwp, M)
+    gv = gain_ref[...]                                     # (g, M)
+    M = ints.shape[1]
+    sg = jax.lax.broadcasted_iota(jnp.int32, (g, M), 0)    # sublane idx
+    t = ints[0, :][None, :] + sg                           # frame (g, M)
+    j = flts[2, :][None, :] + sg.astype(jnp.float32)       # within-quantum
+    delta = flts[0, :][None, :] + flts[1, :][None, :] * j  # f32 (g, M)
+    dfl = jnp.floor(delta)
+    idx = ints[3, :][None, :] + dfl.astype(jnp.int32)      # buffer sample
+    frac = delta - dfl
+    lm1 = jnp.int32(L - 1)
+    piv = jnp.clip(idx, zi, lm1)
+    loc = jnp.clip(piv - ints[4, :][None, :], zi, jnp.int32(w - 2))
+    valid = ((flts[3, :][None, :] > jnp.float32(0.5))
+             & (t >= ints[1, :][None, :]) & (t < ints[2, :][None, :])
+             & (idx >= zi) & (idx <= lm1))
+    acc = [jnp.zeros((g, M), jnp.float32) for _ in range(C)]
+    for u in range(w):
+        u32 = jnp.int32(u)   # python ints lift to i64 under x64
+        wgt = jnp.where(loc == u32, one - frac, zero)
+        if u:
+            wgt = wgt + jnp.where(loc == u32 - jnp.int32(1), frac, zero)
+        for c in range(C):
+            acc[c] = acc[c] + rows[c * w + u, :][None, :] * wgt
+    # non-loop end-of-buffer rule (fusion.py smp_of): subtract the staged
+    # edge constant's contribution at the +1 lerp tap past the buffer
+    cond = ((piv + jnp.int32(1) >= jnp.int32(L))
+            & ((frac >= jnp.float32(1.0 - 1e-6)) | (piv == zi)))
+    et = jnp.where(cond, frac, zero)
+    genv = jnp.clip(gv, jnp.float32(gl0), jnp.float32(gl1))
+    for c in range(C):
+        smp = acc[c] - flts[4 + c, :][None, :] * et
+        out_ref[c * g:(c + 1) * g, :] = \
+            jnp.where(valid, smp, zero) * genv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "w", "L", "Q", "gl0", "gl1",
+                                    "interpret"))
+def grain_bank_fused(rows_g, t, okf, sv, ev, base_i, base_f, rate, gain,
+                     edge, g: int, w: int, L: int, Q: int, gl0: float,
+                     gl1: float, interpret: bool = False):
+    """Whole-bank fused read for ALIGNED lane packing with per-lane
+    envelope rows: rows_g (N, C, w) staged rows; t (B,) i32 frame
+    indices; per-quantum hi-variant fields (K, nq): okf f32 0/1, sv/ev
+    i32 start/stop frames, base_i i32 + base_f f32 playhead split,
+    rate f32; gain (K, B) f32 envelope rows (clipped in-kernel to
+    [gl0, gl1]); edge (C,) f32 staged edge constants.  Returns the
+    K-lane-summed (C, B) f32 bank output (masked + enveloped).
+
+    XLA-side work is only group-granular: per-quantum fields repeat to
+    (K, S) (S = B/g groups), the row start w0 comes from the CLIPPED
+    playhead at the group's two endpoint samples (bit-identical f32 math
+    to the in-kernel per-sample path, so loc = piv - w0 is consistent),
+    and one gather + transpose stages the rows."""
+    K, nq = base_i.shape
+    B = gain.shape[1]
+    S = B // g
+    rep = Q // g
+    C = rows_g.shape[1]
+    assert C <= 2 and S * g == B and rep * g == Q, (C, S, g, B, Q)
+
+    def expand(x):                                         # (K, nq)->(K, S)
+        return jnp.repeat(x, rep, axis=1)
+
+    js = jnp.asarray(
+        np.tile(np.arange(rep, dtype=np.float32) * g, nq))  # (S,) f32
+    bi_g = expand(base_i)
+    bf_g = expand(base_f)
+    rt_g = expand(rate)
+    ok_g = expand(okf)
+    sv_g = expand(sv)
+    ev_g = expand(ev)
+    t0g = t.reshape(S, g)[:, 0].astype(jnp.int32)          # (S,) i32
+    # group row start: clipped playhead at the group's endpoint samples
+    # (same f32 ops as the kernel's per-sample delta -> bit-consistent)
+    d_s = bf_g + rt_g * js[None, :]
+    d_e = bf_g + rt_g * (js[None, :] + jnp.float32(g - 1))
+    pi_s = jnp.clip(bi_g + jnp.floor(d_s).astype(jnp.int32),
+                    jnp.int32(0), jnp.int32(L - 1))
+    pi_e = jnp.clip(bi_g + jnp.floor(d_e).astype(jnp.int32),
+                    jnp.int32(0), jnp.int32(L - 1))
+    w0 = jnp.minimum(pi_s, pi_e)                           # (K, S) i32
+    rows = rows_g[w0.reshape(K * S)]                       # (K*S, C, w)
+
+    RS = K * S
+    RSp = ((RS + _MGF - 1) // _MGF) * _MGF
+    Cw = C * w
+    Cwp = ((Cw + 7) // 8) * 8
+    rows_t = jnp.transpose(rows, (1, 2, 0)).reshape(Cw, RS)
+    rows_t = jnp.pad(rows_t, ((0, Cwp - Cw), (0, RSp - RS)))
+
+    def fl(x):
+        return x.reshape(RS)
+
+    zer_i = jnp.zeros((RS,), jnp.int32)
+    ints_arr = jnp.stack([
+        jnp.broadcast_to(t0g[None, :], (K, S)).reshape(RS),
+        fl(sv_g.astype(jnp.int32)), fl(ev_g.astype(jnp.int32)),
+        fl(bi_g), fl(w0), zer_i, zer_i, zer_i])            # (8, RS)
+    ints_arr = jnp.pad(ints_arr, ((0, 0), (0, RSp - RS)))
+    zer_f = jnp.zeros((RS,), jnp.float32)
+    e0 = jnp.broadcast_to(edge[0], (RS,)).astype(jnp.float32)
+    e1 = (jnp.broadcast_to(edge[1], (RS,)).astype(jnp.float32)
+          if C > 1 else zer_f)
+    flts_arr = jnp.stack([
+        fl(bf_g), fl(rt_g),
+        jnp.broadcast_to(js[None, :], (K, S)).reshape(RS),
+        fl(ok_g), e0, e1, zer_f, zer_f])                   # (8, RS)
+    flts_arr = jnp.pad(flts_arr, ((0, 0), (0, RSp - RS)))
+    gain_t = gain.reshape(K * S, g).T                      # (g, RS)
+    gain_t = jnp.pad(gain_t, ((0, 0), (0, RSp - RS)))
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.devices()[0].platform not in ("tpu", "axon")
+    out = pl.pallas_call(
+        functools.partial(_kernel_grain_fused, g=g, w=w, C=C, L=L,
+                          gl0=gl0, gl1=gl1),
+        out_shape=jax.ShapeDtypeStruct((C * g, RSp), jnp.float32),
+        grid=(RSp // _MGF,),
+        in_specs=[
+            pl.BlockSpec((Cwp, _MGF), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _MGF), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _MGF), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, _MGF), lambda i: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C * g, _MGF),
+                               lambda i: (jnp.int32(0), i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_t, ints_arr, flts_arr, gain_t)
+    # (C*g, RSp) -> (C, g, K, S) -> sum K -> (C, S, g) -> (C, B)
+    res = out[:, :RS].reshape(C, g, K, S)
+    res = jnp.sum(res, axis=2, dtype=jnp.float32)          # (C, g, S)
+    return jnp.transpose(res, (0, 2, 1)).reshape(C, B)
+
+
+@functools.lru_cache(maxsize=1)
+def grain_fused_supported() -> bool:
+    """One-time probe: does the current default backend compile the
+    fully-fused bank kernel (grain_bank_fused)?  Same contract as
+    grouped_v_supported — compile-only, ~1 s once cached."""
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return False
+        C, g, w, K, nq, Q = 2, 16, 21, 2, 8, 128
+        B = nq * Q
+        rows_g = jnp.zeros((64, C, w), jnp.float32)
+        t = jnp.arange(B, dtype=jnp.int32)
+        okf = jnp.ones((K, nq), jnp.float32)
+        sv = jnp.zeros((K, nq), jnp.int32)
+        ev = jnp.full((K, nq), B, jnp.int32)
+        bi = jnp.zeros((K, nq), jnp.int32)
+        bf = jnp.zeros((K, nq), jnp.float32)
+        rt = jnp.ones((K, nq), jnp.float32)
+        gain = jnp.ones((K, B), jnp.float32)
+        edge = jnp.zeros((C,), jnp.float32)
+        jax.block_until_ready(grain_bank_fused(
+            rows_g, t, okf, sv, ev, bi, bf, rt, gain, edge,
+            g=g, w=w, L=40, Q=Q, gl0=0.0, gl1=1.0))
+        return True
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=1)
 def grouped_v_supported() -> bool:
     """One-time probe: does the current default backend compile the VMEM
