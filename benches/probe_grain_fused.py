@@ -50,8 +50,23 @@ def main():
 
     probe = jax.jit(lambda o: jnp.max(jnp.abs(o)))
 
-    def compile_case(n_grains, mode):
-        os.environ["WEBAUDIO_GRAIN_READ"] = mode
+    # label -> env overrides (fused_g8: half-width rows, w 21 -> 12, a
+    # ~43% cut in the kernel's per-sample two-hot passes at 2x gather
+    # descriptors — the VPU-bound/BW-bound discriminator)
+    MODES = [
+        ("grouped_t", {"WEBAUDIO_GRAIN_READ": "grouped_t"}),
+        ("grouped_v", {"WEBAUDIO_GRAIN_READ": "grouped_v"}),
+        ("fused", {"WEBAUDIO_GRAIN_READ": "fused"}),
+        ("fused_g8", {"WEBAUDIO_GRAIN_READ": "fused",
+                      "WEBAUDIO_GRAIN_GROUP": "8"}),
+    ]
+    if len(sys.argv) > 1:
+        keep = set(sys.argv[1:])
+        MODES = [m for m in MODES if m[0] in keep]
+
+    def compile_case(n_grains, env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         try:
             ctx, seconds = granular_ablate.build(n_grains=n_grains)
             cg = C.compile_graph(dict(ctx._nodes), list(ctx._edges),
@@ -59,14 +74,18 @@ def main():
                                  ctx._destination.node_id)
             return ctx, cg, seconds
         finally:
-            os.environ.pop("WEBAUDIO_GRAIN_READ", None)
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     for n in (400, 800):
         refs = {}
-        for mode in ("grouped_t", "grouped_v", "fused"):
+        for mode, env in MODES:
             try:
                 t0 = time.perf_counter()
-                ctx, cg, seconds = compile_case(n, mode)
+                ctx, cg, seconds = compile_case(n, env)
                 out, _ = C.render_compiled(cg, ctx._nodes, ctx.length)
                 suite._force(lambda: probe(out))
                 compile_s = time.perf_counter() - t0

@@ -734,7 +734,18 @@ def compile_graph(nodes: dict, edges: list[Edge], sample_rate: float,
             states, out = block_fn(states, f0, xp, resources)
             return states, out
 
-        final_states, outs = jax.lax.scan(step, init_states, (frame0s, xs_params))
+        if frame0s.shape[0] == 1:
+            # single-block render (most acyclic graphs pick the whole
+            # render as one block): skip lax.scan — a 1-trip loop only
+            # adds carry-staging copies and an xs layout conversion
+            # (runs_r05/hlo_800_fused.txt: the size-1 'xs_params' reduce
+            # alone was backend-estimated at 0.85 ms/render)
+            final_states, out1 = step(init_states,
+                                      (frame0s[0], xs_params[0]))
+            outs = out1[None]
+        else:
+            final_states, outs = jax.lax.scan(step, init_states,
+                                              (frame0s, xs_params))
         # (nb, C, B) -> (C, nb*B)
         outs = jnp.transpose(outs, (1, 0, 2)).reshape(outs.shape[1], -1)
         return final_states, outs

@@ -882,20 +882,29 @@ class _FusedVoicesKernel:
         if mode in ("auto", "grouped", "grouped_t", "grouped_pl",
                     "grouped_dot", "grouped_t2", "grouped_v", "fused"):
             g, w = pick_group(rmax, C, self.buf_len, self.block_frames)
+            # 'fused' = whole-bank VMEM kernel (playhead + masks +
+            # select + edge + envelope in one pass; probe_hlo2 showed
+            # the XLA lane path materializing ~1.67 GB/render of
+            # full-length intermediates on the 800-grain case).  It
+            # runs its own WIDE geometry (g=32 halves the gather
+            # descriptors: kernel path 2.25 ms vs 3.50 ms at g=16 —
+            # benches/probe_gf3.py sweep).  Eligibility: aligned packing
+            # (single hi variant), per-lane envelope rows, <= 2
+            # channels, and no ablation study mode (those instrument
+            # the XLA path).
+            gw, ww = pick_group(rmax, C, self.buf_len,
+                                self.block_frames, wide=True)
+            fused_ok = (bool(gw) and self.lane_aligned and self.lane_env
+                        and self.has_gain and C <= 2
+                        and not os.environ.get("WEBAUDIO_GRAIN_ABLATE"))
+            if mode == "fused" and not fused_ok:
+                mode = "grouped_t"
+            if mode == "fused":
+                self.win_Qs, self.win_W = gw, ww
+                self.read_mode = mode
+                return
             if g:
                 self.win_Qs, self.win_W = g, w
-                # 'fused' = whole-bank VMEM kernel (playhead + masks +
-                # select + edge + envelope in one pass; probe_hlo2
-                # showed the XLA lane path materializing ~1.67 GB/render
-                # of full-length intermediates on the 800-grain case).
-                # Eligibility: aligned packing (single hi variant),
-                # per-lane envelope rows, <= 2 channels, and no ablation
-                # study mode (those instrument the XLA path).
-                fused_ok = (self.lane_aligned and self.lane_env
-                            and self.has_gain and C <= 2
-                            and not os.environ.get("WEBAUDIO_GRAIN_ABLATE"))
-                if mode == "fused" and not fused_ok:
-                    mode = "grouped_t"
                 # 'auto': the Pallas VMEM select on TPU backends whose
                 # Mosaic accepts it (keeps the (w, C, s_tot) broadcast
                 # expansion in a register accumulator; in-situ 2026-08-18
@@ -914,11 +923,12 @@ class _FusedVoicesKernel:
                                                   grouped_v_supported)
 
                     if fused_ok and grain_fused_supported():
-                        mode = "fused"
-                    elif grouped_v_supported():
-                        mode = "grouped_v"
-                    else:
-                        mode = "grouped_t"
+                        # re-enter with the wide fused geometry
+                        self.win_Qs, self.win_W = gw, ww
+                        self.read_mode = "fused"
+                        return
+                    mode = ("grouped_v" if grouped_v_supported()
+                            else "grouped_t")
                 self.read_mode = mode
             return
         if mode == "window":
@@ -982,8 +992,23 @@ class _FusedVoicesKernel:
                     dw = np.zeros((C, L + self.win_W + 2), np.float32)
                     dw[:, :L] = self.data_host
                     dw[:, L] = edge_vals(self.data_host)
-                    if (self.read_mode == "fused"
-                            or self.read_mode.startswith("grouped")):
+                    if self.read_mode == "fused":
+                        # FLAT pre-padded row matrix (N, Cwp): the 3-D
+                        # (N, C, w) staging forced a 1.7 ms/render
+                        # whole-resource layout copy on TPU (the gather
+                        # wanted T(2,128) tiling; hlo_800_fused copy.5),
+                        # and host-side Cw -> Cwp padding removes the
+                        # 0.39 ms on-device pad of the gathered rows
+                        from ..ops.grain_read import stage_rows
+
+                        rows3 = stage_rows(dw, self.win_W)
+                        N = rows3.shape[0]
+                        Cw = rows3.shape[1] * rows3.shape[2]
+                        Cwp = ((Cw + 7) // 8) * 8
+                        flat = np.zeros((N, Cwp), np.float32)
+                        flat[:, :Cw] = rows3.reshape(N, Cw)
+                        res["data_rows_gf"] = flat
+                    elif self.read_mode.startswith("grouped"):
                         from ..ops.grain_read import stage_rows
 
                         res["data_rows_g"] = stage_rows(dw, self.win_W)
@@ -1155,7 +1180,7 @@ class _FusedVoicesKernel:
             from ..ops.grain_read import grain_bank_fused
 
             out = grain_bank_fused(
-                r["data_rows_g"], t, hi["ok"].astype(jnp.float32),
+                r["data_rows_gf"], t, hi["ok"].astype(jnp.float32),
                 hi["startv"], hi["stopv"], hi["base_i"], hi["base_f"],
                 hi["rate32"], params.get("gain"), r["edge_vals"],
                 g=self.win_Qs, w=self.win_W, L=L, Q=Q,

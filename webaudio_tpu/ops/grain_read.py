@@ -183,9 +183,15 @@ def pick_window(rmax: float, block_frames: int):
 # formulation on the tunneled v5e.
 
 
-def pick_group(rmax: float, C: int, L: int, block_frames: int):
+def pick_group(rmax: float, C: int, L: int, block_frames: int,
+               wide: bool = False):
     """(g, w) grouped-row geometry, or (0, 0) when ineligible.  Bounds:
     row width w <= 32 lanes and the staged row matrix <= 128 MB.
+
+    `wide=True` is the FUSED-kernel geometry: prefer g=32 (half the
+    gather descriptors; the row axis is a VMEM sublane dimension there,
+    so w ~= 39 is legal) — in-situ sweep benches/probe_gf3.py: g32
+    kernel path 2.25 ms vs 3.50 ms at g16 on the 800-grain case.
 
     WEBAUDIO_GRAIN_GROUP forces the group size: the XLA select's HBM
     traffic scales with w ~= g*rmax (two (w, C, s_tot) broadcast
@@ -194,13 +200,18 @@ def pick_group(rmax: float, C: int, L: int, block_frames: int):
     import os
 
     forced = int(os.environ.get("WEBAUDIO_GRAIN_GROUP", "0"))
-    for g in ((forced,) if forced else (16, 8)):
-        if block_frames % g:
+    wmax = 48 if (forced or wide) else 32
+    cands = (forced,) if forced else ((32, 16, 8) if wide else (16, 8))
+    for g in cands:
+        if block_frames % g or g > RENDER_QUANTUM_MAX_GROUP:
             continue
         w = int(np.ceil(g * rmax)) + 3
-        if w <= 32 and (L + 2) * C * w * 4 <= (128 << 20):
+        if w <= wmax and (L + 2) * C * w * 4 <= (128 << 20):
             return g, w
     return 0, 0
+
+
+RENDER_QUANTUM_MAX_GROUP = 128   # group must stay within one quantum
 
 
 def stage_rows(data_ext: np.ndarray, w: int) -> np.ndarray:
@@ -499,12 +510,14 @@ def grouped_row_lerp_v(rows_g, pi, fr, g: int, w: int, wrap_len: int = 0,
     return jnp.transpose(res, (0, 2, 1)).reshape(C, R, B)
 
 
-_MGF = 1024  # sample-groups per grid step in the fully-fused bank kernel
+_MGF = 2048  # sample-groups per grid step in the fully-fused bank kernel
+# (M=2048 + in-kernel transpose measured fastest; M=4096 VMEM-overflows
+# the remote Mosaic at g=32 — benches/runs_r05/probe_gf3c.jsonl)
 
 
 def _kernel_grain_fused(rows_ref, ints_ref, flts_ref, gain_ref, out_ref, *,
                         g: int, w: int, C: int, L: int, gl0: float,
-                        gl1: float):
+                        gl1: float, tin: bool = False):
     """Fully-fused grain-bank tile: playhead, schedule/bounds masks,
     two-hot row select, end-of-buffer edge correction, and the envelope
     multiply all happen on VMEM-resident (g, M) tiles.
@@ -535,8 +548,16 @@ def _kernel_grain_fused(rows_ref, ints_ref, flts_ref, gain_ref, out_ref, *,
     zi = jnp.int32(0)
     ints = ints_ref[...]                                   # (8, M) i32
     flts = flts_ref[...]                                   # (8, M) f32
-    rows = rows_ref[...]                                   # (Cwp, M)
-    gv = gain_ref[...]                                     # (g, M)
+    if tin:
+        # gather-natural operands: transpose on the VMEM tile instead of
+        # through HBM (the XLA-side (RSp, Cw) -> (Cw, RSp) transpose of
+        # the gathered rows was backend-estimated at 2.98 ms/render —
+        # runs_r05/hlo_800_fused.txt copy.6)
+        rows = rows_ref[...].T                             # (M, Cwp).T
+        gv = gain_ref[...].T                               # (M, g).T
+    else:
+        rows = rows_ref[...]                               # (Cwp, M)
+        gv = gain_ref[...]                                 # (g, M)
     M = ints.shape[1]
     sg = jax.lax.broadcasted_iota(jnp.int32, (g, M), 0)    # sublane idx
     t = ints[0, :][None, :] + sg                           # frame (g, M)
@@ -571,30 +592,53 @@ def _kernel_grain_fused(rows_ref, ints_ref, flts_ref, gain_ref, out_ref, *,
             jnp.where(valid, smp, zero) * genv
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("g", "w", "L", "Q", "gl0", "gl1",
-                                    "interpret"))
-def grain_bank_fused(rows_g, t, okf, sv, ev, base_i, base_f, rate, gain,
+def grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f, rate, gain,
                      edge, g: int, w: int, L: int, Q: int, gl0: float,
                      gl1: float, interpret: bool = False):
+    """Env-knob shim: WEBAUDIO_GF_M overrides the kernel block width
+    (sample-groups per grid step; default _MGF) and WEBAUDIO_GF_T picks
+    where the gathered rows transpose ('kernel' = on the VMEM tile,
+    'xla' = HBM transpose) — A/Bs in benches/probe_gf3.py."""
+    import os
+
+    M = int(os.environ.get("WEBAUDIO_GF_M", str(_MGF)))
+    tin = os.environ.get("WEBAUDIO_GF_T", "kernel") == "kernel"
+    return _grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f,
+                             rate, gain, edge, g=g, w=w, L=L, Q=Q,
+                             gl0=gl0, gl1=gl1, M=M, tin=tin,
+                             interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "w", "L", "Q", "gl0", "gl1",
+                                    "M", "tin", "interpret"))
+def _grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f, rate, gain,
+                      edge, g: int, w: int, L: int, Q: int, gl0: float,
+                      gl1: float, M: int = _MGF, tin: bool = True,
+                      interpret: bool = False):
     """Whole-bank fused read for ALIGNED lane packing with per-lane
-    envelope rows: rows_g (N, C, w) staged rows; t (B,) i32 frame
-    indices; per-quantum hi-variant fields (K, nq): okf f32 0/1, sv/ev
-    i32 start/stop frames, base_i i32 + base_f f32 playhead split,
-    rate f32; gain (K, B) f32 envelope rows (clipped in-kernel to
-    [gl0, gl1]); edge (C,) f32 staged edge constants.  Returns the
-    K-lane-summed (C, B) f32 bank output (masked + enveloped).
+    envelope rows: rows_gf (N, Cwp) staged rows, FLAT and pre-padded to
+    a sublane multiple host-side (row n = data_ext[:, n:n+w] in C-major
+    order; the 3-D (N, C, w) staging forced a 1.7 ms/render T(2,128)
+    layout copy of the whole resource — hlo_800_fused.txt copy.5); t
+    (B,) i32 frame indices; per-quantum hi-variant fields (K, nq): okf
+    f32 0/1, sv/ev i32 start/stop frames, base_i i32 + base_f f32
+    playhead split, rate f32; gain (K, B) f32 envelope rows (clipped
+    in-kernel to [gl0, gl1]); edge (C,) f32 staged edge constants.
+    Returns the K-lane-summed (C, B) f32 bank output (masked +
+    enveloped).
 
     XLA-side work is only group-granular: per-quantum fields repeat to
     (K, S) (S = B/g groups), the row start w0 comes from the CLIPPED
     playhead at the group's two endpoint samples (bit-identical f32 math
     to the in-kernel per-sample path, so loc = piv - w0 is consistent),
-    and one gather + transpose stages the rows."""
+    and one gather stages the rows in their natural layout; `tin` moves
+    the lane-major transpose onto the VMEM tiles."""
     K, nq = base_i.shape
     B = gain.shape[1]
     S = B // g
     rep = Q // g
-    C = rows_g.shape[1]
+    C = edge.shape[0]
     assert C <= 2 and S * g == B and rep * g == Q, (C, S, g, B, Q)
 
     def expand(x):                                         # (K, nq)->(K, S)
@@ -618,63 +662,84 @@ def grain_bank_fused(rows_g, t, okf, sv, ev, base_i, base_f, rate, gain,
     pi_e = jnp.clip(bi_g + jnp.floor(d_e).astype(jnp.int32),
                     jnp.int32(0), jnp.int32(L - 1))
     w0 = jnp.minimum(pi_s, pi_e)                           # (K, S) i32
-    rows = rows_g[w0.reshape(K * S)]                       # (K*S, C, w)
 
-    RS = K * S
-    RSp = ((RS + _MGF - 1) // _MGF) * _MGF
+    # pad the GROUP axis per lane (S -> Sp with K*Sp a grid multiple):
+    # pads land on the small (K, S) field/index tensors, the gather
+    # output arrives already grid-sized (no (Cw, RS)-scale pad+copy),
+    # and the (C, g, K, Sp) output factorization survives padding so the
+    # K-lane reduce runs BEFORE any slice (probe_hlo2: the flat-pad
+    # variant materialized a 47.8 MB pad + 41.7 MB copy + 31.8 MB slice)
+    import math
+
+    step = M // math.gcd(K, M)
+    Sp = ((S + step - 1) // step) * step
+    RSp = K * Sp
     Cw = C * w
-    Cwp = ((Cw + 7) // 8) * 8
-    rows_t = jnp.transpose(rows, (1, 2, 0)).reshape(Cw, RS)
-    rows_t = jnp.pad(rows_t, ((0, Cwp - Cw), (0, RSp - RS)))
+    Cwp = rows_gf.shape[1]
+    assert Cwp >= Cw and Cwp % 8 == 0, (Cwp, Cw)
+
+    def pads(x, val=0):                                    # (K, S)->(K, Sp)
+        return jnp.pad(x, ((0, 0), (0, Sp - S)),
+                       constant_values=val)
+
+    w0_p = pads(w0)
+    rows = rows_gf[w0_p.reshape(RSp)]                      # (RSp, Cwp)
+    rows_t = rows if tin else rows.T                       # else (Cwp, RSp)
 
     def fl(x):
-        return x.reshape(RS)
+        return pads(x).reshape(RSp)
 
-    zer_i = jnp.zeros((RS,), jnp.int32)
+    zer = jnp.zeros((RSp,), jnp.int32)
     ints_arr = jnp.stack([
-        jnp.broadcast_to(t0g[None, :], (K, S)).reshape(RS),
+        fl(jnp.broadcast_to(t0g[None, :], (K, S))),
         fl(sv_g.astype(jnp.int32)), fl(ev_g.astype(jnp.int32)),
-        fl(bi_g), fl(w0), zer_i, zer_i, zer_i])            # (8, RS)
-    ints_arr = jnp.pad(ints_arr, ((0, 0), (0, RSp - RS)))
-    zer_f = jnp.zeros((RS,), jnp.float32)
-    e0 = jnp.broadcast_to(edge[0], (RS,)).astype(jnp.float32)
-    e1 = (jnp.broadcast_to(edge[1], (RS,)).astype(jnp.float32)
+        fl(bi_g), pads(w0).reshape(RSp), zer, zer, zer])   # (8, RSp)
+    zer_f = jnp.zeros((RSp,), jnp.float32)
+    e0 = jnp.broadcast_to(edge[0], (RSp,)).astype(jnp.float32)
+    e1 = (jnp.broadcast_to(edge[1], (RSp,)).astype(jnp.float32)
           if C > 1 else zer_f)
     flts_arr = jnp.stack([
         fl(bf_g), fl(rt_g),
-        jnp.broadcast_to(js[None, :], (K, S)).reshape(RS),
-        fl(ok_g), e0, e1, zer_f, zer_f])                   # (8, RS)
-    flts_arr = jnp.pad(flts_arr, ((0, 0), (0, RSp - RS)))
-    gain_t = gain.reshape(K * S, g).T                      # (g, RS)
-    gain_t = jnp.pad(gain_t, ((0, 0), (0, RSp - RS)))
+        fl(jnp.broadcast_to(js[None, :], (K, S))),
+        fl(ok_g), e0, e1, zer_f, zer_f])                   # (8, RSp)
+    gain_t = jnp.pad(gain.reshape(K, S, g),
+                     ((0, 0), (0, Sp - S), (0, 0))).reshape(RSp, g)
+    if not tin:
+        gain_t = gain_t.T                                  # (g, RSp)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or jax.devices()[0].platform not in ("tpu", "axon")
+    rows_spec = (pl.BlockSpec((M, Cwp), lambda i: (i, jnp.int32(0)),
+                              memory_space=pltpu.VMEM) if tin else
+                 pl.BlockSpec((Cwp, M), lambda i: (jnp.int32(0), i),
+                              memory_space=pltpu.VMEM))
+    gain_spec = (pl.BlockSpec((M, g), lambda i: (i, jnp.int32(0)),
+                              memory_space=pltpu.VMEM) if tin else
+                 pl.BlockSpec((g, M), lambda i: (jnp.int32(0), i),
+                              memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_kernel_grain_fused, g=g, w=w, C=C, L=L,
-                          gl0=gl0, gl1=gl1),
+                          gl0=gl0, gl1=gl1, tin=tin),
         out_shape=jax.ShapeDtypeStruct((C * g, RSp), jnp.float32),
-        grid=(RSp // _MGF,),
+        grid=(RSp // M,),
         in_specs=[
-            pl.BlockSpec((Cwp, _MGF), lambda i: (jnp.int32(0), i),
+            rows_spec,
+            pl.BlockSpec((8, M), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _MGF), lambda i: (jnp.int32(0), i),
+            pl.BlockSpec((8, M), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _MGF), lambda i: (jnp.int32(0), i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, _MGF), lambda i: (jnp.int32(0), i),
-                         memory_space=pltpu.VMEM),
+            gain_spec,
         ],
-        out_specs=pl.BlockSpec((C * g, _MGF),
+        out_specs=pl.BlockSpec((C * g, M),
                                lambda i: (jnp.int32(0), i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rows_t, ints_arr, flts_arr, gain_t)
-    # (C*g, RSp) -> (C, g, K, S) -> sum K -> (C, S, g) -> (C, B)
-    res = out[:, :RS].reshape(C, g, K, S)
-    res = jnp.sum(res, axis=2, dtype=jnp.float32)          # (C, g, S)
+    # (C*g, RSp) -> (C, g, K, Sp) -> sum K -> slice S -> (C, S, g) -> (C, B)
+    res = out.reshape(C, g, K, Sp)
+    res = jnp.sum(res, axis=2, dtype=jnp.float32)[:, :, :S]  # (C, g, S)
     return jnp.transpose(res, (0, 2, 1)).reshape(C, B)
 
 
@@ -686,9 +751,11 @@ def grain_fused_supported() -> bool:
     try:
         if jax.devices()[0].platform not in ("tpu", "axon"):
             return False
-        C, g, w, K, nq, Q = 2, 16, 21, 2, 8, 128
+        # the production WIDE geometry (pick_group wide=True): g=32,
+        # w=39, rows flat-padded to Cwp=80
+        C, g, w, K, nq, Q = 2, 32, 39, 2, 8, 128
         B = nq * Q
-        rows_g = jnp.zeros((64, C, w), jnp.float32)
+        rows_g = jnp.zeros((64, 80), jnp.float32)          # (N, Cwp) flat
         t = jnp.arange(B, dtype=jnp.int32)
         okf = jnp.ones((K, nq), jnp.float32)
         sv = jnp.zeros((K, nq), jnp.int32)
