@@ -1023,10 +1023,23 @@ def render_args(cg: CompiledGraph, total_frames: int, start_frame: int = 0,
     if getattr(cg, "_xs_cache_key", None) == key:
         xs_params = cg._xs_cache
     else:
-        xs_params = jnp.asarray(
-            pack_dense_params(cg, padded).reshape(-1, nb, B)
-            .transpose(1, 0, 2)) if cg.dense_params else \
-            jnp.zeros((nb, 0, B), jnp.float32)
+        if cg.dense_params:
+            packed = pack_dense_params(cg, padded)         # (P, padded)
+            # pad the row count to a sublane multiple: a (nb, 9, B)
+            # stage gets compact T(1,128) tiling and the executable
+            # re-tiles it to T(8,128) EVERY render (a size-1 reduce
+            # backend-estimated at 0.85 ms on the 800-grain case —
+            # benches/runs_r05/hlo_800_fused2.txt); trailing zero rows
+            # are never indexed by block_fn
+            P = packed.shape[0]
+            Pp = ((P + 7) // 8) * 8
+            if Pp > P:
+                packed = np.concatenate(
+                    [packed, np.zeros((Pp - P, padded), np.float32)])
+            xs_params = jnp.asarray(
+                packed.reshape(Pp, nb, B).transpose(1, 0, 2))
+        else:
+            xs_params = jnp.zeros((nb, 0, B), jnp.float32)
         cg._xs_cache = xs_params
         cg._xs_cache_key = key
         cg._frame0s_cache = jnp.asarray(

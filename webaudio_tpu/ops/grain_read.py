@@ -586,10 +586,29 @@ def _kernel_grain_fused(rows_ref, ints_ref, flts_ref, gain_ref, out_ref, *,
             & ((frac >= jnp.float32(1.0 - 1e-6)) | (piv == zi)))
     et = jnp.where(cond, frac, zero)
     genv = jnp.clip(gv, jnp.float32(gl0), jnp.float32(gl1))
+    vals = []
     for c in range(C):
         smp = acc[c] - flts[4 + c, :][None, :] * et
-        out_ref[c * g:(c + 1) * g, :] = \
-            jnp.where(valid, smp, zero) * genv
+        vals.append(jnp.where(valid, smp, zero) * genv)
+    # K-lane reduction ACROSS grid steps: the k axis is the innermost
+    # grid dim, every k revisits the same output block, and adds run in
+    # ascending k — the same f32 order as the old XLA-side
+    # jnp.sum(axis=K), which this replaces (it materialized a
+    # (C, g, K, Sp) intermediate + a 470 us reduce per render)
+    from jax.experimental import pallas as pl
+
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _init():
+        for c in range(C):
+            out_ref[c * g:(c + 1) * g, :] = vals[c]
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        for c in range(C):
+            out_ref[c * g:(c + 1) * g, :] = \
+                out_ref[c * g:(c + 1) * g, :] + vals[c]
 
 
 def grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f, rate, gain,
@@ -671,9 +690,13 @@ def _grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f, rate, gain,
     # variant materialized a 47.8 MB pad + 41.7 MB copy + 31.8 MB slice)
     import math
 
-    step = M // math.gcd(K, M)
-    Sp = ((S + step - 1) // step) * step
+    # Sp is a multiple of M so every grid block lies within ONE lane k
+    # (the 2-D reduction grid accumulates over k into the same output
+    # block); the grid-step count K*Sp/M is unchanged from the flat
+    # 1-D layout whenever gcd(K, M) == 1
+    Sp = ((S + M - 1) // M) * M
     RSp = K * Sp
+    nS = Sp // M
     Cw = C * w
     Cwp = rows_gf.shape[1]
     assert Cwp >= Cw and Cwp % 8 == 0, (Cwp, Cw)
@@ -711,35 +734,43 @@ def _grain_bank_fused(rows_gf, t, okf, sv, ev, base_i, base_f, rate, gain,
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or jax.devices()[0].platform not in ("tpu", "axon")
-    rows_spec = (pl.BlockSpec((M, Cwp), lambda i: (i, jnp.int32(0)),
+    def blk(s, k):                     # flat (k-major) group-block index
+        # jnp.int32 constructed IN the map body (python ints lift to
+        # i64 under x64; tracer capture is rejected by pallas)
+        return k * jnp.int32(nS) + s
+
+    rows_spec = (pl.BlockSpec((M, Cwp), lambda s, k: (blk(s, k),
+                                                      jnp.int32(0)),
                               memory_space=pltpu.VMEM) if tin else
-                 pl.BlockSpec((Cwp, M), lambda i: (jnp.int32(0), i),
+                 pl.BlockSpec((Cwp, M), lambda s, k: (jnp.int32(0),
+                                                      blk(s, k)),
                               memory_space=pltpu.VMEM))
-    gain_spec = (pl.BlockSpec((M, g), lambda i: (i, jnp.int32(0)),
+    gain_spec = (pl.BlockSpec((M, g), lambda s, k: (blk(s, k),
+                                                    jnp.int32(0)),
                               memory_space=pltpu.VMEM) if tin else
-                 pl.BlockSpec((g, M), lambda i: (jnp.int32(0), i),
+                 pl.BlockSpec((g, M), lambda s, k: (jnp.int32(0),
+                                                    blk(s, k)),
                               memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_kernel_grain_fused, g=g, w=w, C=C, L=L,
                           gl0=gl0, gl1=gl1, tin=tin),
-        out_shape=jax.ShapeDtypeStruct((C * g, RSp), jnp.float32),
-        grid=(RSp // M,),
+        out_shape=jax.ShapeDtypeStruct((C * g, Sp), jnp.float32),
+        grid=(nS, K),
         in_specs=[
             rows_spec,
-            pl.BlockSpec((8, M), lambda i: (jnp.int32(0), i),
+            pl.BlockSpec((8, M), lambda s, k: (jnp.int32(0), blk(s, k)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, M), lambda i: (jnp.int32(0), i),
+            pl.BlockSpec((8, M), lambda s, k: (jnp.int32(0), blk(s, k)),
                          memory_space=pltpu.VMEM),
             gain_spec,
         ],
         out_specs=pl.BlockSpec((C * g, M),
-                               lambda i: (jnp.int32(0), i),
+                               lambda s, k: (jnp.int32(0), s),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rows_t, ints_arr, flts_arr, gain_t)
-    # (C*g, RSp) -> (C, g, K, Sp) -> sum K -> slice S -> (C, S, g) -> (C, B)
-    res = out.reshape(C, g, K, Sp)
-    res = jnp.sum(res, axis=2, dtype=jnp.float32)[:, :, :S]  # (C, g, S)
+    # (C*g, Sp) already K-summed -> slice S -> (C, S, g) -> (C, B)
+    res = out.reshape(C, g, Sp)[:, :, :S]                  # (C, g, S)
     return jnp.transpose(res, (0, 2, 1)).reshape(C, B)
 
 
