@@ -146,13 +146,12 @@ def main():
             os.environ.pop("WEBAUDIO_CURVE", None)
             os.environ.pop("WEBAUDIO_BENCH_TAG", None)
 
-            # grain-read A/B: the VMEM grouped select (grouped_v) became
-            # the probed TPU default after benches/runs_r05/probe_gv
-            # (400: 909/1,879 vs 718/1,592; 800: 791/1,134 vs 711/1,032
-            # at 5/25-deep; bit-exact on chip), so the contrast row now
-            # forces the prior XLA transposed select.  (grouped_pl
-            # settled s1/s2, grouped_dot s3, grouped_t2 s5-s7 — all
-            # lose or wash vs grouped_t.)
+            # grain-read A/B: the whole-bank fused VMEM kernel became
+            # the probed TPU default late in r5 (runs_r05/probe_gf4:
+            # 800 grains 999/2,025 vs grouped_t 640/1,006 at 5/ss25,
+            # bit-exact on chip), so the contrast row forces the XLA
+            # transposed select.  (grouped_v probe_gv; grouped_pl
+            # s1/s2, grouped_dot s3, grouped_t2 s5-s7 — all settled.)
             _emit(stage="ab", variant="grain_grouped_t")
             os.environ["WEBAUDIO_GRAIN_READ"] = "grouped_t"
             os.environ["WEBAUDIO_BENCH_TAG"] = ":grouped_t"
